@@ -1,0 +1,92 @@
+"""Import helper for the read-only PyTorch reference at /root/reference.
+
+The reference is used purely as a *numerical oracle* in parity tests (the
+"fast kernel vs slow reference oracle" pattern, SURVEY.md §4).  It needs
+``timm`` and ``fvcore`` which are not installed, so we install minimal shims
+(eval-mode DropPath identity, trunc_normal_, no-op FLOPs counters) before
+importing.  Tests must call every reference module in eval mode only.
+"""
+
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_shims():
+    if "timm" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            # eval-mode identity; tests never exercise training-mode droppath
+            return x
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = DropPath
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm_models.layers = timm_layers
+    timm.models = timm_models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.layers"] = timm_layers
+
+    # triton shim: csm_triton.py decorates kernels with @triton.jit at module
+    # level even in the fallback path; the kernels are never *called* on CPU
+    # (cross_scan_fn dispatches to torch for non-CUDA tensors).
+    class _TLModule(types.ModuleType):
+        def __getattr__(self, name):
+            return object
+
+    triton = types.ModuleType("triton")
+    tl = _TLModule("triton.language")
+    triton.jit = lambda fn=None, **kw: (fn if fn is not None
+                                        else (lambda f: f))
+    triton.language = tl
+    triton.cdiv = lambda a, b: -(-a // b)
+    testing = types.ModuleType("triton.testing")
+    testing.do_bench = lambda *a, **k: 0.0
+    triton.testing = testing
+    sys.modules.setdefault("triton", triton)
+    sys.modules.setdefault("triton.language", tl)
+    sys.modules.setdefault("triton.testing", testing)
+
+    fvcore = types.ModuleType("fvcore")
+    fvcore_nn = types.ModuleType("fvcore.nn")
+    fvcore_nn.FlopCountAnalysis = object
+    fvcore_nn.flop_count_str = lambda *a, **k: ""
+    fvcore_nn.flop_count = lambda *a, **k: ({}, {})
+    fvcore_nn.parameter_count = lambda *a, **k: {"": 0}
+    fvcore.nn = fvcore_nn
+    sys.modules["fvcore"] = fvcore
+    sys.modules["fvcore.nn"] = fvcore_nn
+
+
+def reference_available():
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def load_reference_module(name):
+    """Import a module from the reference tree, e.g. 'models.vmamba'."""
+    _install_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    models_dir = os.path.join(REFERENCE_ROOT, "models")
+    if models_dir not in sys.path:
+        sys.path.insert(0, models_dir)
+    import importlib
+    return importlib.import_module(name)

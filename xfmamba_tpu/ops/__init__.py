@@ -1,0 +1,10 @@
+from xfmamba_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_seq,
+    selective_scan_torch_layout,
+)
+from xfmamba_tpu.ops.cross_scan import (
+    cross_scan,
+    cross_merge,
+    directional_scan_2d,
+)
