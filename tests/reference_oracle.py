@@ -58,12 +58,40 @@ def _install_shims():
                                         else (lambda f: f))
     triton.language = tl
     triton.cdiv = lambda a, b: -(-a // b)
+    triton.__version__ = "2.2.0"
+    triton.Config = lambda *a, **k: None
+    triton.autotune = lambda *a, **k: (lambda f: f)
+    triton.heuristics = lambda *a, **k: (lambda f: f)
+    triton.next_power_of_2 = lambda n: 1 << (int(n) - 1).bit_length()
     testing = types.ModuleType("triton.testing")
     testing.do_bench = lambda *a, **k: 0.0
     triton.testing = testing
     sys.modules.setdefault("triton", triton)
     sys.modules.setdefault("triton.language", tl)
     sys.modules.setdefault("triton.testing", testing)
+
+    # newer CPU-only torch raises on `with torch.cuda.device(cpu_device)`
+    # (used unconditionally at csm_triton.py:505,:515); make it a no-op.
+    class _CudaDeviceNoop:
+        def __init__(self, device):
+            self.device = device
+
+        def __enter__(self):
+            return None
+
+        def __exit__(self, *a):
+            return False
+
+    torch.cuda.device = _CudaDeviceNoop
+
+    torchvision = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    torchvision.models = tv_models
+    sys.modules.setdefault("torchvision", torchvision)
+    sys.modules.setdefault("torchvision.models", tv_models)
+    torchinfo = types.ModuleType("torchinfo")
+    torchinfo.summary = lambda *a, **k: None
+    sys.modules.setdefault("torchinfo", torchinfo)
 
     fvcore = types.ModuleType("fvcore")
     fvcore_nn = types.ModuleType("fvcore.nn")
@@ -85,8 +113,9 @@ def load_reference_module(name):
     _install_shims()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    models_dir = os.path.join(REFERENCE_ROOT, "models")
-    if models_dir not in sys.path:
-        sys.path.insert(0, models_dir)
+    for sub in ("models", "models/mamba2", "libs"):
+        d = os.path.join(REFERENCE_ROOT, sub)
+        if d not in sys.path:
+            sys.path.insert(0, d)
     import importlib
     return importlib.import_module(name)

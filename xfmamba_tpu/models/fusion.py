@@ -1,0 +1,387 @@
+"""XFMamba cross-view fusion ops and blocks.
+
+Reference: ``/root/reference/models/fusion_vmamba.py`` —
+SwappingScan/Merge (:189-241), ConcatScan/Merge (:244-286),
+Cross_SS2Dv5 (:360-610), FusionBlock_v5/CSSFVSSLayer_v5 (:613-690),
+ShallowFuse_SS2Dv4 (:693-876), ShallowFusionBlock_v4 (:879-920).
+
+Everything channel-last (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xfmamba_tpu.models.layers import (
+    LN_EPS, Conv2dSame, Dense, DropPath, trunc_normal_init)
+from xfmamba_tpu.models.ss2d import (
+    _project_kdirs, a_log_init, dt_proj_bias_init, dt_proj_weight_init,
+    ss2d_core_from_projs)
+from xfmamba_tpu.ops.selective_scan import selective_scan
+
+
+# =====================================================================
+# swap-scan: channel-interleaved two-view exchange
+# =====================================================================
+
+@jax.custom_vjp
+def swapping_scan(x, x2):
+    """Exchange even-indexed channels between the two views
+    (`fusion_vmamba.py:189-214`): out_x takes x2's even channels, out_x2
+    takes x's.  Returns (swapped_x, swapped_x2), same shapes as inputs.
+
+    The custom VJP reproduces the reference's *straight-through* backward
+    (`:216-221`): gradients are passed through un-swapped — deliberately
+    matching the reference's training semantics rather than the true adjoint.
+    """
+    return _swap_fwd(x, x2)
+
+
+def _swap_fwd(x, x2):
+    C = x.shape[-1]
+    even = (jnp.arange(C) % 2) == 0
+    out_x = jnp.where(even, x2, x)
+    out_x2 = jnp.where(even, x, x2)
+    return out_x, out_x2
+
+
+def _swap_fwd_vjp(x, x2):
+    return _swap_fwd(x, x2), None
+
+
+def _swap_bwd_vjp(_, g):
+    g1, g2 = g
+    return g1, g2  # straight-through, NOT the adjoint (reference behavior)
+
+
+swapping_scan.defvjp(_swap_fwd_vjp, _swap_bwd_vjp)
+
+
+def swapping_scan_adjoint(x, x2):
+    """The mathematically-faithful variant (gradient swaps back); available
+    for experiments where correct adjoints matter."""
+    return _swap_fwd(x, x2)
+
+
+def concat_scan(x, x2):
+    """Two views as one length-2L sequence + its reverse (K=2 traversals,
+    `fusion_vmamba.py:244-262`).  x, x2: (B, H, W, C) ->
+    (seq, seq_reversed) each (B, 2L, C)."""
+    B, H, W, C = x.shape
+    seq = jnp.concatenate([x.reshape(B, -1, C), x2.reshape(B, -1, C)], axis=1)
+    return seq, seq[:, ::-1]
+
+
+def concat_merge(y_fwd, y_rev, H, W):
+    """Inverse of `concat_scan` (`fusion_vmamba.py:265-273`): sum the two
+    traversals and split back into per-view maps."""
+    B, L2, C = y_fwd.shape
+    L = L2 // 2
+    y = y_fwd + y_rev[:, ::-1]
+    return (y[:, :L].reshape(B, H, W, C), y[:, L:].reshape(B, H, W, C))
+
+
+# =====================================================================
+# ShallowFuse_SS2Dv4: swap-scan K=2 SSM + cross squeeze-excitation
+# =====================================================================
+
+class ShallowFuseSS2Dv4(nn.Module):
+    """Shallow two-view fusion (`fusion_vmamba.py:693-876`).
+
+    Pipeline per view: in_proj → dwconv → SiLU; then the two views'
+    even-channels are swapped, a K=2 selective scan runs over both swapped
+    streams, outputs are un-swapped (split), out-normed, and cross-gated by
+    the *other* view's squeeze-excitation of its pre-conv projection.
+    """
+    d_model: int
+    d_state: int = 4
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: Callable = nn.silu
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    dtype: Any = jnp.float32
+    scan_impl: Callable = selective_scan
+
+    @nn.compact
+    def __call__(self, x, x2, deterministic: bool = True):
+        d_inner = int(self.ssm_ratio * self.d_model)
+        dt_rank = (int(math.ceil(self.d_model / 16))
+                   if self.dt_rank == "auto" else int(self.dt_rank))
+        K, N, R = 2, self.d_state, dt_rank
+        B, H, W, _ = x.shape
+        L = H * W
+
+        in_proj = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(), name="in_proj")
+        x_p = in_proj(x)
+        x2_p = in_proj(x2)
+
+        conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                          feature_group_count=d_inner,
+                          use_bias=self.conv_bias, dtype=self.dtype,
+                          name="conv2d")
+        x_c = self.act(conv(x_p))
+        x2_c = self.act(conv(x2_p))
+
+        # --- scan parameters (K=2 groups)
+        x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
+                                   (K, R + 2 * N, d_inner))
+        dt_projs_weight = self.param(
+            "dt_projs_weight",
+            dt_proj_weight_init(R, self.dt_scale, self.dt_init),
+            (K, d_inner, R))
+        dt_projs_bias = self.param(
+            "dt_projs_bias",
+            dt_proj_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (K, d_inner))
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.ones(shape, dtype),
+                        (K * d_inner,))
+
+        sx, sx2 = swapping_scan(x_c, x2_c)
+        xs = jnp.stack([sx.reshape(B, L, d_inner),
+                        sx2.reshape(B, L, d_inner)], axis=2)  # (B,L,2,D)
+        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
+
+        u = xs.reshape(B, L, K * d_inner)
+        ys = self.scan_impl(
+            u, dts.reshape(B, L, K * d_inner),
+            -jnp.exp(A_logs.astype(jnp.float32)),
+            Bs, Cs, Ds, dt_projs_bias.reshape(-1), delta_softplus=True)
+        # SwappingMerge: split back (true adjoint under autodiff,
+        # `fusion_vmamba.py:224-241`)
+        y1 = ys[..., :d_inner].reshape(B, H, W, d_inner).astype(x.dtype)
+        y2 = ys[..., d_inner:].reshape(B, H, W, d_inner).astype(x.dtype)
+
+        out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="out_norm")
+        y1 = out_norm(y1)
+        y2 = out_norm(y2)
+
+        # cross squeeze-excitation (`fusion_vmamba.py:769-775, 866-871`):
+        # y1 is gated by x2's excitation and vice versa
+        se_fc1 = Dense(d_inner // 16, use_bias=False, dtype=self.dtype,
+                       name="fc1_reduce")
+        se_fc2 = Dense(d_inner, use_bias=False, dtype=self.dtype,
+                       name="fc1_expand")
+
+        def excite(v):
+            s = v.mean(axis=(1, 2))
+            return jax.nn.sigmoid(se_fc2(nn.silu(se_fc1(s))))[:, None, None]
+
+        y1 = y1 * excite(x2_p)
+        y2 = y2 * excite(x_p)
+
+        out_proj = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                         kernel_init=trunc_normal_init(), name="out_proj")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        return drop(out_proj(y1)), drop(out_proj(y2))
+
+
+class ShallowFusionBlock(nn.Module):
+    """Pre-norm residual wrapper (`fusion_vmamba.py:879-920`): shared norm,
+    per-view residual x_i + shallowfuse(x_i).  The reference's default norm
+    is **BatchNorm2d** (`:884`) — which is what TwoViewXFMambaTop uses."""
+    hidden_dim: int
+    drop_path: float = 0.0
+    attn_drop_rate: float = 0.0
+    d_state: int = 4
+    dt_rank: Any = "auto"
+    ssm_ratio: float = 2.0
+    norm_type: str = "bn"  # "bn" (reference default) | "ln"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        if self.norm_type == "bn":
+            # torch BatchNorm2d defaults: eps 1e-5, momentum 0.1
+            # (flax momentum 0.9 == torch 0.1 for the running average)
+            norm = nn.BatchNorm(use_running_average=deterministic,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name="norm")
+        else:
+            norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="norm")
+        y1, y2 = ShallowFuseSS2Dv4(
+            d_model=self.hidden_dim, d_state=self.d_state,
+            ssm_ratio=self.ssm_ratio, dt_rank=self.dt_rank,
+            dropout=self.attn_drop_rate, dtype=self.dtype,
+            name="shallowfuseSS2D")(norm(x1), norm(x2),
+                                    deterministic=deterministic)
+        dp = DropPath(self.drop_path)
+        y1, y2 = dp((y1, y2), deterministic=deterministic)
+        return x1 + y1, x2 + y2
+
+
+# =====================================================================
+# Cross_SS2Dv5: deep cross-fusion (Cs_fuse conditions both views)
+# =====================================================================
+
+class CrossSS2Dv5(nn.Module):
+    """Deep fusion op (`fusion_vmamba.py:360-610`).
+
+    ``x_fuse = (x + x2) / 2``; all three streams share ``in_proj_sec``,
+    dwconv and act; the fused stream scans normally while the two views scan
+    with the fused stream's C projections substituted for their own (:537,
+    :568).  The gate ``z = act(in_proj_sec(x_fuse))`` multiplies every
+    stream's output; out = out_proj(y + y2 + y_fuse).
+
+    The reference also *constructs* an unused ``in_proj`` (d_model→2·d_inner,
+    :399); we do not instantiate dead parameters — the checkpoint converter
+    drops that tensor explicitly.
+    """
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: Callable = nn.silu
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    initialize: str = "v0"
+    scan_mode: str = "cross2d"
+    dtype: Any = jnp.float32
+    scan_impl: Callable = selective_scan
+
+    @nn.compact
+    def __call__(self, x, x2, deterministic: bool = True):
+        d_inner = int(self.ssm_ratio * self.d_model)
+        dt_rank = (int(math.ceil(self.d_model / 16))
+                   if self.dt_rank == "auto" else int(self.dt_rank))
+        K, N, R = 4, self.d_state, dt_rank
+
+        x_fuse = (x + x2) / 2
+
+        in_proj_sec = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
+                            kernel_init=trunc_normal_init(),
+                            name="in_proj_sec")
+        x_p = in_proj_sec(x)
+        x2_p = in_proj_sec(x2)
+        xf_p = in_proj_sec(x_fuse)
+
+        z = self.act(xf_p)
+
+        if self.d_conv > 1:
+            conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                              feature_group_count=d_inner,
+                              use_bias=self.conv_bias, dtype=self.dtype,
+                              name="conv2d")
+            x_p, x2_p, xf_p = conv(x_p), conv(x2_p), conv(xf_p)
+        x_p, x2_p, xf_p = self.act(x_p), self.act(x2_p), self.act(xf_p)
+
+        x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
+                                   (K, R + 2 * N, d_inner))
+        dt_projs_weight = self.param(
+            "dt_projs_weight",
+            dt_proj_weight_init(R, self.dt_scale, self.dt_init),
+            (K, d_inner, R))
+        dt_projs_bias = self.param(
+            "dt_projs_bias",
+            dt_proj_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (K, d_inner))
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.ones(shape, dtype),
+                        (K * d_inner,))
+
+        A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, d_inner, N)
+        Dmat = Ds.astype(jnp.float32).reshape(K, d_inner)
+        bias = dt_projs_bias.astype(jnp.float32)
+
+        out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="out_norm")
+
+        dts_f, Bs_f, Cs_f = _project_kdirs(xf_p, x_proj_weight,
+                                           dt_projs_weight, R, N)
+        y_fuse = ss2d_core_from_projs(xf_p, dts_f, Bs_f, Cs_f, A, Dmat, bias,
+                                      scan_mode=self.scan_mode,
+                                      scan_impl=self.scan_impl)
+        y_fuse = out_norm(y_fuse.astype(x.dtype))
+
+        dts1, Bs1, _ = _project_kdirs(x_p, x_proj_weight, dt_projs_weight,
+                                      R, N)
+        y = ss2d_core_from_projs(x_p, dts1, Bs1, Cs_f, A, Dmat, bias,
+                                 scan_mode=self.scan_mode,
+                                 scan_impl=self.scan_impl)
+        y = out_norm(y.astype(x.dtype))
+
+        dts2, Bs2, _ = _project_kdirs(x2_p, x_proj_weight, dt_projs_weight,
+                                      R, N)
+        y2 = ss2d_core_from_projs(x2_p, dts2, Bs2, Cs_f, A, Dmat, bias,
+                                  scan_mode=self.scan_mode,
+                                  scan_impl=self.scan_impl)
+        y2 = out_norm(y2.astype(x2.dtype))
+
+        y_fusion3 = y * z + y2 * z + y_fuse * z
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(),
+                    name="out_proj")(y_fusion3)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+class FusionBlock(nn.Module):
+    """Pre-norm cross-fusion block (`fusion_vmamba.py:613-643`): shared norm,
+    Cross_SS2Dv5, droppath; residual x1 + x2 + attn(x1, x2)."""
+    hidden_dim: int
+    drop_path: float = 0.0
+    attn_drop_rate: float = 0.0
+    d_state: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")
+        y = CrossSS2Dv5(d_model=self.hidden_dim, d_state=self.d_state,
+                        dropout=self.attn_drop_rate, dtype=self.dtype,
+                        name="self_attention")(norm(x1), norm(x2),
+                                               deterministic=deterministic)
+        y = DropPath(self.drop_path)(y, deterministic=deterministic)
+        return x1 + x2 + y
+
+
+class CSSFVSSLayer(nn.Module):
+    """Stack of FusionBlocks (`fusion_vmamba.py:646-690`); depth 1 in the
+    shipped XFMamba top.  The second view is held fixed across blocks."""
+    hidden_dim: int
+    depth: int = 1
+    drop_path: Any = 0.0
+    attn_drop_rate: float = 0.0
+    d_state: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = (self.drop_path[i] if isinstance(self.drop_path, (list,
+                                                                   tuple))
+                  else self.drop_path)
+            x1 = FusionBlock(hidden_dim=self.hidden_dim, drop_path=float(dp),
+                             attn_drop_rate=self.attn_drop_rate,
+                             d_state=self.d_state, dtype=self.dtype,
+                             name=f"block{i}")(x1, x2,
+                                               deterministic=deterministic)
+        return x1

@@ -1,0 +1,444 @@
+"""SS2D: the 2-D selective-scan op of VMamba, TPU-native.
+
+Covers the reference's live forward-type surface
+(``/root/reference/models/vmamba.py:380-712``): base types v0/v01..v05/v2/v3,
+postfix flags ``_no32 _oact _noz _nozact``, out-norm selectors
+``_onnone/_ondwconv3/_oncnorm/_onsoftmax/_onsigmoid`` and scan modes
+cross2d/unidi/bidi/cascade2d.  The shipped XFMamba configs use ``v05_noz``
+(no z-gate, LayerNorm out-norm, cross2d).
+
+TPU-first structure of the hot path (`forward_corev2`,
+`vmamba.py:493-646` in the reference):
+
+1.  All four direction projections are computed **once** on the un-permuted
+    (B, H, W, D) tensor — projection is pointwise in space, so it commutes
+    with the traversal permutations.  One einsum over all K directions feeds
+    the MXU with a single big matmul instead of K small ones.
+2.  Reversed directions run as ``reverse=True`` associative scans
+    (flip∘scan∘flip ≡ reverse-scan), and column-major directions as one
+    (H, W) transpose — no K-fold data materialization, no flips.
+3.  The scan itself is `xfmamba_tpu.ops.selective_scan` (fp32 state) or the
+    fused Pallas kernel when enabled.
+
+Parameter layouts (`x_proj_weight` (K, R+2N, D), `dt_projs_weight` (K, D, R),
+`dt_projs_bias` (K, D), `A_logs` (K*D, N), `Ds` (K*D,)) deliberately match
+the reference tensors bit-for-bit so checkpoint conversion is a pure
+tree-rename (`mamba_init`, `vmamba.py:165-232`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xfmamba_tpu.models.layers import (
+    LN_EPS, Conv2dSame, Dense, gelu, trunc_normal_init)
+from xfmamba_tpu.ops.selective_scan import selective_scan
+
+
+# =====================================================================
+# forward_type parsing (mirrors SS2Dv2.__initv2__ checkpostfix chain)
+# =====================================================================
+
+_BASE_TYPES = {
+    # base: (force_fp32_default, scan_mode)
+    "v0": ("v0", "cross2d"),
+    "v0seq": ("v0", "cross2d"),
+    "v01": ("force32", "cross2d"),
+    "v02": ("force32", "cross2d"),
+    "v03": ("force32", "cross2d"),
+    "v04": ("no32", "cross2d"),
+    "v05": ("no32", "cross2d"),
+    "v051d": ("no32", "unidi"),
+    "v052d": ("no32", "bidi"),
+    "v052dc": ("no32", "cascade2d"),
+    "v2": ("force32", "cross2d"),
+    "v3": ("no32", "cross2d"),
+}
+
+
+@dataclass(frozen=True)
+class SS2DMode:
+    base: str
+    scan_mode: str
+    disable_z: bool
+    disable_z_act: bool
+    oact: bool
+    out_norm: str  # "ln" | "none" | "dwconv3" | "cnorm" | "softmax" | "sigmoid"
+    is_v0: bool
+
+
+def parse_forward_type(forward_type: str) -> SS2DMode:
+    ft = forward_type
+
+    def strip(tag):
+        nonlocal ft
+        if ft.endswith(tag):
+            ft = ft[: -len(tag)]
+            return True
+        return False
+
+    disable_force32 = strip("_no32")
+    oact = strip("_oact")
+    disable_z = strip("_noz")
+    disable_z_act = strip("_nozact")
+    out_norm = "ln"
+    for tag, kind in [("_onnone", "none"), ("_ondwconv3", "dwconv3"),
+                      ("_oncnorm", "cnorm"), ("_onsoftmax", "softmax"),
+                      ("_onsigmoid", "sigmoid")]:
+        if strip(tag):
+            out_norm = kind
+            break
+    if ft not in _BASE_TYPES:
+        raise ValueError(f"unsupported forward_type base {ft!r} "
+                         f"(from {forward_type!r})")
+    _, scan_mode = _BASE_TYPES[ft]
+    del disable_force32  # fp32 scan state is unconditional on TPU
+    return SS2DMode(base=ft, scan_mode=scan_mode, disable_z=disable_z,
+                    disable_z_act=disable_z_act, oact=oact, out_norm=out_norm,
+                    is_v0=ft in ("v0", "v0seq"))
+
+
+# =====================================================================
+# mamba-style initializers (mirror mamba_init, vmamba.py:165-232)
+# =====================================================================
+
+def dt_proj_weight_init(dt_rank: int, dt_scale: float = 1.0,
+                        dt_init: str = "random"):
+    std = dt_rank ** -0.5 * dt_scale
+
+    def init(key, shape, dtype=jnp.float32):
+        if dt_init == "constant":
+            return jnp.full(shape, std, dtype)
+        return jax.random.uniform(key, shape, dtype, -std, std)
+    return init
+
+
+def dt_proj_bias_init(dt_min: float = 0.001, dt_max: float = 0.1,
+                      dt_init_floor: float = 1e-4):
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, dtype)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min))
+                     + math.log(dt_min))
+        dt = jnp.clip(dt, a_min=dt_init_floor)
+        # inverse softplus
+        return dt + jnp.log(-jnp.expm1(-dt))
+    return init
+
+
+def a_log_init(d_state: int):
+    def init(key, shape, dtype=jnp.float32):
+        # shape (K*D, N): S4D-real  A = [1..N] per channel
+        kd, n = shape
+        a = jnp.broadcast_to(jnp.arange(1, n + 1, dtype=dtype), (kd, n))
+        return jnp.log(a)
+    return init
+
+
+def simple_init(kind: str, which: str):
+    """`initialize="v1"/"v2"` variants (vmamba.py:480-491)."""
+    def init(key, shape, dtype=jnp.float32):
+        if which == "Ds":
+            return jnp.ones(shape, dtype)
+        if kind == "v1":
+            if which == "A_logs":
+                return jax.random.normal(key, shape, dtype)
+            return 0.1 * jax.random.normal(key, shape, dtype)
+        else:  # v2
+            if which == "A_logs":
+                return jnp.zeros(shape, dtype)
+            return 0.1 * jax.random.uniform(key, shape, dtype)
+    return init
+
+
+# =====================================================================
+# scan helpers
+# =====================================================================
+
+def _project_kdirs(x, x_proj_weight, dt_projs_weight, R, N):
+    """Per-position projections for all K directions at once.
+
+    x: (B, H, W, D); x_proj_weight: (K, R+2N, D); dt_projs_weight: (K, D, R)
+    Returns dts (B,H,W,K,D), Bs (B,H,W,K,N), Cs (B,H,W,K,N).
+    """
+    x_dbl = jnp.einsum("bhwd,kcd->bhwkc", x, x_proj_weight)
+    dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+    dts = jnp.einsum("bhwkr,kdr->bhwkd", dts, dt_projs_weight)
+    return dts, Bs, Cs
+
+
+def _scan_group(x, dts, Bs, Cs, A, Ds, bias, ks, transposed, reverse,
+                scan_impl):
+    """Run the selective scan for a group of directions that share layout and
+    direction of traversal; returns y (B, L, len(ks)*D) in scan order."""
+    B, H, W, D = x.shape
+    L = H * W
+    if transposed:
+        x = jnp.swapaxes(x, 1, 2)
+        dts = jnp.swapaxes(dts, 1, 2)
+        Bs = jnp.swapaxes(Bs, 1, 2)
+        Cs = jnp.swapaxes(Cs, 1, 2)
+    nk = len(ks)
+    ks = jnp.asarray(ks)
+    u = jnp.tile(x.reshape(B, L, D), (1, 1, nk)) if nk > 1 \
+        else x.reshape(B, L, D)
+    d_sel = dts.reshape(B, L, -1, D)[:, :, ks]      # (B,L,nk,D)
+    d_sel = d_sel.reshape(B, L, nk * D)
+    B_sel = Bs.reshape(B, L, -1, Bs.shape[-1])[:, :, ks]
+    C_sel = Cs.reshape(B, L, -1, Cs.shape[-1])[:, :, ks]
+    A_sel = A[ks].reshape(nk * D, -1)
+    D_sel = Ds[ks].reshape(-1) if Ds is not None else None
+    b_sel = bias[ks].reshape(-1) if bias is not None else None
+    y = scan_impl(u, d_sel, A_sel, B_sel, C_sel, D_sel, b_sel,
+                  delta_softplus=True, reverse=reverse)
+    return y  # (B, L, nk*D)
+
+
+def ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                         scan_mode: str = "cross2d",
+                         scan_impl: Callable = selective_scan):
+    """Scan+merge half of the SS2D core, taking precomputed per-direction
+    projections (needed by Cross_SS2Dv5, which substitutes the fused stream's
+    C projections into each view's scan, `fusion_vmamba.py:537,:568`).
+
+    x (B,H,W,D); dts (B,H,W,K,D); Bs/Cs (B,H,W,K,N); A (K,D,N); Dmat/bias
+    (K,D).  Returns (B, H, W, D) fp32.
+    """
+    B, H, W, D = x.shape
+    K = A.shape[0]
+    L = H * W
+
+    args = (x, dts, Bs, Cs, A, Dmat, bias)
+
+    if scan_mode == "cross2d":
+        assert K == 4
+        y0 = _scan_group(*args, ks=[0], transposed=False, reverse=False,
+                         scan_impl=scan_impl)
+        y2 = _scan_group(*args, ks=[2], transposed=False, reverse=True,
+                         scan_impl=scan_impl)
+        y1 = _scan_group(*args, ks=[1], transposed=True, reverse=False,
+                         scan_impl=scan_impl)
+        y3 = _scan_group(*args, ks=[3], transposed=True, reverse=True,
+                         scan_impl=scan_impl)
+        y23 = (y1 + y3).reshape(B, W, H, D)
+        y23 = jnp.swapaxes(y23, 1, 2).reshape(B, L, D)
+        y = (y0 + y2) + y23
+    elif scan_mode == "unidi":
+        y = _scan_group(*args, ks=list(range(K)), transposed=False,
+                        reverse=False, scan_impl=scan_impl)
+        y = y.reshape(B, L, K, D).sum(axis=2)
+    elif scan_mode == "bidi":
+        assert K == 4
+        yf = _scan_group(*args, ks=[0, 1], transposed=False, reverse=False,
+                         scan_impl=scan_impl)
+        yr = _scan_group(*args, ks=[2, 3], transposed=False, reverse=True,
+                         scan_impl=scan_impl)
+        y4 = (yf + yr).reshape(B, L, 2, D)
+        y = y4[:, :, 0] + y4[:, :, 1]
+    else:
+        raise ValueError(f"unsupported scan_mode {scan_mode}")
+    return y.reshape(B, H, W, D)
+
+
+def ss2d_core(x, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
+              d_state: int, scan_mode: str = "cross2d",
+              scan_impl: Callable = selective_scan):
+    """Fused cross-scan → selective-scan → cross-merge on (B, H, W, D).
+
+    Returns (B, H, W, D) fp32 (pre-out-norm).  Summation order matches the
+    reference cross_merge (`csm_triton.py:56-67`).
+    """
+    K = x_proj_weight.shape[0]
+    R = dt_projs_weight.shape[-1]
+    N = d_state
+    D = x.shape[-1]
+    dts, Bs, Cs = _project_kdirs(x, x_proj_weight, dt_projs_weight, R, N)
+    A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, D, N)
+    Dmat = Ds.astype(jnp.float32).reshape(K, D) if Ds is not None else None
+    bias = (dt_projs_bias.astype(jnp.float32).reshape(K, D)
+            if dt_projs_bias is not None else None)
+    return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                scan_mode=scan_mode, scan_impl=scan_impl)
+
+
+def ss2d_core_cascade2d(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                        A_logs, Ds, d_state: int,
+                        scan_impl: Callable = selective_scan):
+    """Cascade2d: a width pass (directions 0,2) feeding a height pass
+    (directions 1,3), each bracketed by a parameter-free layernorm
+    (`vmamba.py:525-600`).  Returns (B, H, W, D)."""
+    B, H, W, D = x.shape
+    N = d_state
+    R = dt_projs_weight.shape[-1]
+    A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(4, D, N)
+    Dmat = Ds.astype(jnp.float32).reshape(4, D)
+    bias = dt_projs_bias.astype(jnp.float32).reshape(4, D)
+
+    def plain_ln(v):
+        mu = v.mean(axis=-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + LN_EPS)
+
+    def rowcol(v, ks, axis_len, transposed):
+        """Scan v (B, H', W', D) along its W' axis for fwd+rev direction pair
+        `ks`, rows folded into batch."""
+        if transposed:
+            v = jnp.swapaxes(v, 1, 2)
+        b, h, w, d = v.shape
+        vb = v.reshape(b * h, w, d)
+        pw = x_proj_weight[ks]       # (2, R+2N, D)
+        dw = dt_projs_weight[ks]     # (2, D, R)
+        x_dbl = jnp.einsum("lwd,kcd->lwkc", vb, pw)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum("lwkr,kdr->lwkd", dts, dw)
+        yk = []
+        for j, rev in ((0, False), (1, True)):
+            yk.append(scan_impl(
+                vb, dts[:, :, j], A[ks[j]], Bs[:, :, j][:, :, None],
+                Cs[:, :, j][:, :, None], Dmat[ks[j]], bias[ks[j]],
+                delta_softplus=True, reverse=rev))
+        y = (yk[0] + yk[1]).reshape(b, h, w, d)
+        if transposed:
+            y = jnp.swapaxes(y, 1, 2)
+        return y
+
+    xn = plain_ln(x)
+    y_row = rowcol(xn, [0, 1], W, transposed=False)
+    y_row = plain_ln(y_row)
+    y = rowcol(y_row, [2, 3], H, transposed=True)
+    return y
+
+
+# =====================================================================
+# the SS2D module
+# =====================================================================
+
+class OutNorm(nn.Module):
+    """Out-norm selector (`vmamba.py:666-705`)."""
+    kind: str
+    d_inner: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "none":
+            return x
+        if self.kind == "ln":
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="norm")(x)
+        if self.kind == "dwconv3":
+            return Conv2dSame(self.d_inner, (3, 3),
+                              feature_group_count=self.d_inner,
+                              use_bias=False, dtype=self.dtype,
+                              name="dwconv")(x)
+        if self.kind == "cnorm":
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+            return Conv2dSame(self.d_inner, (3, 3),
+                              feature_group_count=self.d_inner,
+                              use_bias=False, dtype=self.dtype,
+                              name="dwconv")(x)
+        if self.kind == "softmax":
+            from xfmamba_tpu.models.layers import softmax_spatial
+            return softmax_spatial(x)
+        if self.kind == "sigmoid":
+            return jax.nn.sigmoid(x)
+        raise ValueError(self.kind)
+
+
+class SS2D(nn.Module):
+    """The SS2D block: in-proj → depthwise conv → act → 2-D selective scan →
+    out-norm → (z-gate) → out-proj.  Channel-last (B, H, W, d_model)."""
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: Callable = nn.silu
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    initialize: str = "v0"
+    forward_type: str = "v2"
+    k_group: int = 4
+    dtype: Any = jnp.float32
+    scan_impl: Callable = selective_scan
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        mode = parse_forward_type(self.forward_type)
+        d_inner = int(self.ssm_ratio * self.d_model)
+        dt_rank = (int(math.ceil(self.d_model / 16))
+                   if self.dt_rank == "auto" else int(self.dt_rank))
+        K = self.k_group
+        N = self.d_state
+
+        d_proj = d_inner if mode.disable_z else 2 * d_inner
+        xz = Dense(d_proj, use_bias=self.bias, dtype=self.dtype,
+                   kernel_init=trunc_normal_init(), name="in_proj")(x)
+        if not mode.disable_z:
+            xin, z = jnp.split(xz, 2, axis=-1)
+            if not mode.disable_z_act:
+                z = self.act(z)
+        else:
+            xin, z = xz, None
+
+        if self.d_conv > 1:
+            xin = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                             feature_group_count=d_inner,
+                             use_bias=self.conv_bias, dtype=self.dtype,
+                             name="conv2d")(xin)
+        xin = self.act(xin)
+
+        # --- scan parameters (reference tensor layouts)
+        x_proj_weight = self.param(
+            "x_proj_weight", trunc_normal_init(),
+            (K, dt_rank + 2 * N, d_inner))
+        if self.initialize == "v0":
+            dt_w_init = dt_proj_weight_init(dt_rank, self.dt_scale,
+                                            self.dt_init)
+            dt_b_init = dt_proj_bias_init(self.dt_min, self.dt_max,
+                                          self.dt_init_floor)
+            A_init = a_log_init(N)
+            D_init = lambda key, shape, dtype=jnp.float32: jnp.ones(shape,
+                                                                    dtype)
+        else:
+            dt_w_init = simple_init(self.initialize, "dt_w")
+            dt_b_init = simple_init(self.initialize, "dt_b")
+            A_init = simple_init(self.initialize, "A_logs")
+            D_init = simple_init(self.initialize, "Ds")
+        dt_projs_weight = self.param("dt_projs_weight", dt_w_init,
+                                     (K, d_inner, dt_rank))
+        dt_projs_bias = self.param("dt_projs_bias", dt_b_init, (K, d_inner))
+        A_logs = self.param("A_logs", A_init, (K * d_inner, N))
+        Ds = self.param("Ds", D_init, (K * d_inner,))
+
+        if mode.scan_mode == "cascade2d":
+            y = ss2d_core_cascade2d(xin, x_proj_weight, dt_projs_weight,
+                                    dt_projs_bias, A_logs, Ds, N,
+                                    scan_impl=self.scan_impl)
+        else:
+            y = ss2d_core(xin, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                          A_logs, Ds, N, scan_mode=mode.scan_mode,
+                          scan_impl=self.scan_impl)
+        y = y.astype(x.dtype)
+        y = OutNorm(mode.out_norm, d_inner, dtype=self.dtype,
+                    name="out_norm")(y)
+        if mode.oact:
+            y = gelu(y)
+        if z is not None:
+            # z was already activated at split time unless _nozact
+            y = y * z
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="out_proj")(y)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out

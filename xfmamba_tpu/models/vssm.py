@@ -1,0 +1,347 @@
+"""VSSM backbone: hierarchical 4-stage visual state-space model.
+
+Mirrors the reference architecture (``/root/reference/models/vmamba.py``):
+VSSBlock (:1955-2042), VSSM (:2045-2372), Backbone_VSSM (:2376-2429 and the
+XFMamba variant ``fusion_vmamba.py:1653-1724``) and the model factories
+(:2433-2602) — rebuilt channel-last for TPU.  ``norm_layer`` ln/ln2d/bn only
+changes the *external* layout in the reference; here everything is NHWC and
+the converter absorbs layout differences.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from xfmamba_tpu.models.layers import (
+    LN_EPS, Conv2dSame, Dense, DropPath, GMlp, Mlp, PatchMerging2D,
+    gelu, trunc_normal_init)
+from xfmamba_tpu.models.ss2d import SS2D
+
+_ACTS = dict(silu=nn.silu, gelu=gelu, relu=nn.relu,
+             sigmoid=jax.nn.sigmoid)
+
+
+class PatchEmbedV1(nn.Module):
+    """Single conv stride-4 patchify (`vmamba.py:2196-2202`)."""
+    embed_dim: int
+    patch_size: int = 4
+    patch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2dSame(self.embed_dim,
+                       (self.patch_size, self.patch_size),
+                       strides=(self.patch_size, self.patch_size),
+                       padding="VALID", dtype=self.dtype, name="proj")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchEmbedV2(nn.Module):
+    """Two stride-2 convs with GELU between (`vmamba.py:2204-2219`)."""
+    embed_dim: int
+    patch_size: int = 4
+    patch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stride = self.patch_size // 2
+        k = stride + 1
+        x = Conv2dSame(self.embed_dim // 2, (k, k), strides=(stride, stride),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv1")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm1")(x)
+        x = gelu(x)
+        x = Conv2dSame(self.embed_dim, (k, k), strides=(stride, stride),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv2")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm2")(x)
+        return x
+
+
+class DownsampleV2(nn.Module):
+    """conv 2x2 stride 2 + norm (`vmamba.py:2221-2229`)."""
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2dSame(self.out_dim, (2, 2), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+
+
+class DownsampleV3(nn.Module):
+    """conv 3x3 stride 2 pad 1 + norm (`vmamba.py:2231-2239`) — the default
+    for all shipped v05_noz configs."""
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2dSame(self.out_dim, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+
+
+class VSSBlock(nn.Module):
+    """Residual SS2D + optional MLP branch (`vmamba.py:1955-2042`)."""
+    hidden_dim: int
+    drop_path: float = 0.0
+    ssm_d_state: int = 16
+    ssm_ratio: float = 2.0
+    ssm_dt_rank: Any = "auto"
+    ssm_act: str = "silu"
+    ssm_conv: int = 3
+    ssm_conv_bias: bool = True
+    ssm_drop_rate: float = 0.0
+    ssm_init: str = "v0"
+    forward_type: str = "v2"
+    mlp_ratio: float = 4.0
+    mlp_act: str = "gelu"
+    mlp_drop_rate: float = 0.0
+    gmlp: bool = False
+    post_norm: bool = False
+    use_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def body(x):
+            if self.ssm_ratio > 0:
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                 name="norm")(x)
+                h = SS2D(d_model=self.hidden_dim, d_state=self.ssm_d_state,
+                         ssm_ratio=self.ssm_ratio, dt_rank=self.ssm_dt_rank,
+                         act=_ACTS[self.ssm_act], d_conv=self.ssm_conv,
+                         conv_bias=self.ssm_conv_bias,
+                         dropout=self.ssm_drop_rate,
+                         initialize=self.ssm_init,
+                         forward_type=self.forward_type, dtype=self.dtype,
+                         name="op")(h, deterministic=deterministic)
+                if self.post_norm:
+                    h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                     name="norm")(h)
+                x = x + DropPath(self.drop_path)(h,
+                                                 deterministic=deterministic)
+            if self.mlp_ratio > 0:
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                 name="norm2")(x)
+                MLP = GMlp if self.gmlp else Mlp
+                h = MLP(hidden_features=int(self.hidden_dim * self.mlp_ratio),
+                        out_features=self.hidden_dim, act=_ACTS[self.mlp_act],
+                        drop_rate=self.mlp_drop_rate, dtype=self.dtype,
+                        name="mlp")(h, deterministic=deterministic)
+                x = x + DropPath(self.drop_path)(h,
+                                                 deterministic=deterministic)
+            return x
+
+        return body(x)
+
+
+class VSSM(nn.Module):
+    """4-stage hierarchical backbone + classifier (`vmamba.py:2045-2307`)."""
+    depths: Sequence[int] = (2, 2, 9, 2)
+    dims: Any = 96
+    num_classes: int = 1000
+    patch_size: int = 4
+    in_chans: int = 3
+    ssm_d_state: int = 1
+    ssm_ratio: float = 2.0
+    ssm_dt_rank: Any = "auto"
+    ssm_act: str = "silu"
+    ssm_conv: int = 3
+    ssm_conv_bias: bool = False
+    ssm_drop_rate: float = 0.0
+    ssm_init: str = "v0"
+    forward_type: str = "v0"
+    mlp_ratio: float = 4.0
+    mlp_act: str = "gelu"
+    mlp_drop_rate: float = 0.0
+    gmlp: bool = False
+    drop_path_rate: float = 0.2
+    patch_norm: bool = True
+    downsample_version: str = "v3"
+    patchembed_version: str = "v2"
+    use_checkpoint: bool = False
+    posembed: bool = False
+    imgsize: int = 224
+    # backbone mode: return per-stage features instead of logits
+    out_indices: Optional[Sequence[int]] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def stage_dims(self):
+        if isinstance(self.dims, int):
+            return [self.dims * 2 ** i for i in range(len(self.depths))]
+        return list(self.dims)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dims = self.stage_dims
+        num_layers = len(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+
+        PE = dict(v1=PatchEmbedV1, v2=PatchEmbedV2)[self.patchembed_version]
+        x = PE(embed_dim=dims[0], patch_size=self.patch_size,
+               patch_norm=self.patch_norm, dtype=self.dtype,
+               name="patch_embed")(x)
+
+        if self.posembed:
+            hp = wp = self.imgsize // self.patch_size
+            pos = self.param("pos_embed", trunc_normal_init(),
+                             (1, hp, wp, dims[0]))
+            x = x + pos
+
+        # activation rematerialization: recompute each block's activations in
+        # the backward pass (the TPU analogue of torch.utils.checkpoint at
+        # `vmamba.py:2038-2042`), trading FLOPs for HBM.
+        Block = (nn.remat(VSSBlock, static_argnums=(2,))
+                 if self.use_checkpoint else VSSBlock)
+
+        outs = []
+        for i in range(num_layers):
+            for j in range(self.depths[i]):
+                x = Block(
+                    hidden_dim=dims[i],
+                    drop_path=float(dpr[sum(self.depths[:i]) + j]),
+                    ssm_d_state=self.ssm_d_state, ssm_ratio=self.ssm_ratio,
+                    ssm_dt_rank=self.ssm_dt_rank, ssm_act=self.ssm_act,
+                    ssm_conv=self.ssm_conv,
+                    ssm_conv_bias=self.ssm_conv_bias,
+                    ssm_drop_rate=self.ssm_drop_rate,
+                    ssm_init=self.ssm_init, forward_type=self.forward_type,
+                    mlp_ratio=self.mlp_ratio, mlp_act=self.mlp_act,
+                    mlp_drop_rate=self.mlp_drop_rate, gmlp=self.gmlp,
+                    use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                    name=f"stage{i}_block{j}",
+                )(x, deterministic=deterministic)
+            if self.out_indices is not None and i in self.out_indices:
+                o = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                 name=f"outnorm{i}")(x)
+                outs.append(o)
+            if i < num_layers - 1:
+                if self.downsample_version == "v1":
+                    x = PatchMerging2D(out_dim=dims[i + 1], dtype=self.dtype,
+                                       name=f"downsample{i}")(x)
+                elif self.downsample_version == "v2":
+                    x = DownsampleV2(out_dim=dims[i + 1], dtype=self.dtype,
+                                     name=f"downsample{i}")(x)
+                elif self.downsample_version == "v3":
+                    x = DownsampleV3(out_dim=dims[i + 1], dtype=self.dtype,
+                                     name=f"downsample{i}")(x)
+                elif self.downsample_version == "none":
+                    pass
+                else:
+                    raise ValueError(self.downsample_version)
+
+        if self.out_indices is not None:
+            return outs
+
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                         name="classifier_norm")(x)
+        x = x.mean(axis=(1, 2))
+        x = Dense(self.num_classes, dtype=self.dtype,
+                  kernel_init=trunc_normal_init(),
+                  name="classifier_head")(x)
+        return x
+
+
+def backbone_vssm(depths=(2, 2, 15, 2), dims=96, drop_path_rate=0.3,
+                  ssm_ratio=2.0, out_indices=(0, 1, 2, 3), **kw):
+    """Feature-pyramid backbone with XFMamba's defaults
+    (`fusion_vmamba.py:1653-1663`: VMamba-S geometry, d_state=1, v05_noz)."""
+    defaults = dict(
+        ssm_d_state=1, ssm_dt_rank="auto", ssm_act="silu", ssm_conv=3,
+        ssm_conv_bias=False, ssm_drop_rate=0.0, ssm_init="v0",
+        forward_type="v05_noz", mlp_ratio=4.0, mlp_act="gelu",
+        mlp_drop_rate=0.0, gmlp=False, patch_norm=True,
+        downsample_version="v3", patchembed_version="v2", posembed=False,
+        imgsize=224,
+    )
+    defaults.update(kw)
+    return VSSM(depths=depths, dims=dims, drop_path_rate=drop_path_rate,
+                ssm_ratio=ssm_ratio, out_indices=out_indices, **defaults)
+
+
+# =====================================================================
+# model factories (`vmamba.py:2433-2602`)
+# =====================================================================
+
+def _vssm(depths, dims, dpr, d_state, ratio, ftype, down, pe, conv_bias,
+          mlp_ratio, num_classes=1000, ssm_init="v0", ssm_act="silu"):
+    return VSSM(depths=depths, dims=dims, drop_path_rate=dpr,
+                num_classes=num_classes, ssm_d_state=d_state,
+                ssm_ratio=ratio, ssm_act=ssm_act, ssm_conv=3,
+                ssm_conv_bias=conv_bias, ssm_init=ssm_init,
+                forward_type=ftype, mlp_ratio=mlp_ratio,
+                downsample_version=down, patchembed_version=pe)
+
+
+def vanilla_vmamba_tiny(num_classes=1000):
+    return _vssm((2, 2, 9, 2), 96, 0.2, 16, 2.0, "v0", "v1", "v1", True, 0.0,
+                 num_classes)
+
+
+def vanilla_vmamba_small(num_classes=1000):
+    return _vssm((2, 2, 27, 2), 96, 0.3, 16, 2.0, "v0", "v1", "v1", True,
+                 0.0, num_classes)
+
+
+def vanilla_vmamba_base(num_classes=1000):
+    return _vssm((2, 2, 27, 2), 128, 0.6, 16, 2.0, "v0", "v1", "v1", True,
+                 0.0, num_classes)
+
+
+def vmamba_tiny_s2l5(num_classes=1000):
+    return _vssm((2, 2, 5, 2), 96, 0.2, 1, 2.0, "v05_noz", "v3", "v2", False,
+                 4.0, num_classes)
+
+
+def vmamba_small_s2l15(num_classes=1000):
+    return _vssm((2, 2, 15, 2), 96, 0.3, 1, 2.0, "v05_noz", "v3", "v2",
+                 False, 4.0, num_classes)
+
+
+def vmamba_base_s2l15(num_classes=1000):
+    return _vssm((2, 2, 15, 2), 128, 0.6, 1, 2.0, "v05_noz", "v3", "v2",
+                 False, 4.0, num_classes)
+
+
+def vmamba_tiny_s1l8(num_classes=1000):
+    return _vssm((2, 2, 8, 2), 96, 0.2, 1, 1.0, "v05_noz", "v3", "v2", False,
+                 4.0, num_classes)
+
+
+def vmamba_small_s1l20(num_classes=1000):
+    return _vssm((2, 2, 20, 2), 96, 0.3, 1, 1.0, "v05_noz", "v3", "v2",
+                 False, 4.0, num_classes)
+
+
+def vmamba_base_s1l20(num_classes=1000):
+    return _vssm((2, 2, 20, 2), 128, 0.5, 1, 1.0, "v05_noz", "v3", "v2",
+                 False, 4.0, num_classes)
+
+
+def build_model(num_classes=1000):
+    """`models/__init__.py:50-53` — the default backbone is VMamba-S s2l15."""
+    return vmamba_small_s2l15(num_classes=num_classes)
+
+
+def single_channel_feature_extract_mamba(num_classes=2):
+    """`fusion_vmamba.py:1728-1739`."""
+    return vmamba_small_s2l15(num_classes=num_classes)
