@@ -1,0 +1,108 @@
+"""Benchmark: XFMamba-S two-view 224² inference throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: the remote-TPU dispatch path has ~25 ms round-trip latency and
+an async `block_until_ready` that does not synchronize, so K model steps are
+chained *inside one jit program* (each iteration's input perturbed by the
+previous output so XLA cannot reorder/elide) and the program is synchronized
+by fetching a scalar.  Throughput uses (t_K - t_1)/(K-1) to cancel both the
+dispatch latency and any fixed per-call overhead.
+
+Baseline: the reference publishes no throughput (BASELINE.md).  The
+north-star compares against the PyTorch reference with Triton/CUDA kernels
+on A100: the VMamba paper reports ~877 img/s for VMamba-S on A100; XFMamba-S
+runs that backbone twice per sample plus the fusion stack, so the A100
+reference throughput is estimated at ~400 two-view samples/s.
+``vs_baseline`` = measured / 400.
+"""
+
+import functools
+import json
+import sys
+import time
+
+
+A100_REFERENCE_IPS = 400.0  # estimated two-view samples/s (see docstring)
+
+
+def measure(model_apply, variables, x1, x2, k_long=5):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chained(v, a, b, k):
+        def body(i, carry):
+            a_c, acc = carry
+            y = model_apply(v, a_c, b)
+            # serialize iterations: next input depends on this output
+            a_c = a_c + (jnp.tanh(y.sum()) * 1e-12).astype(a_c.dtype)
+            return (a_c, acc + y.sum())
+        _, acc = jax.lax.fori_loop(0, k, body,
+                                   (a, jnp.zeros((), jnp.float32)))
+        return acc
+
+    def timed(k, reps=2):
+        float(chained(variables, x1, x2, k))  # compile + warmup
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chained(variables, x1, x2, k))  # scalar fetch = sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tk = timed(k_long)
+    per_step = (tk - t1) / (k_long - 1)
+    return per_step
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: remote-TPU compiles take minutes; cache them
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from xfmamba_tpu.models.tops import two_view_xfmamba
+
+    # bf16 compute (MXU-native) with fp32 selective-scan state
+    model = two_view_xfmamba("small", outputs=2, dtype=jnp.bfloat16)
+
+    best_ips = 0.0
+    best_bs = 0
+    for bs in (32,):
+        try:
+            x1 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
+            x2 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
+            shapes = jax.eval_shape(model.init, jax.random.key(0), x1, x2)
+            variables = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            per_step = measure(
+                lambda v, a, b: model.apply(v, a, b), variables, x1, x2)
+            ips = bs / per_step
+            print(f"# bs={bs}: {per_step*1e3:.2f} ms/step, {ips:.1f} img/s",
+                  file=sys.stderr)
+            if ips > best_ips:
+                best_ips, best_bs = ips, bs
+        except Exception as e:
+            print(f"# bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            break
+
+    print(json.dumps({
+        "metric": "xfmamba_s_two_view_224_inference",
+        "value": round(best_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best_ips / A100_REFERENCE_IPS, 3),
+        "batch_size": best_bs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

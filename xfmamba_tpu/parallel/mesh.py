@@ -1,0 +1,55 @@
+"""Device-mesh data parallelism.
+
+The reference is strictly single-GPU (SURVEY.md §2.10: no DDP/NCCL anywhere);
+this module is the TPU build's first-class parallel layer: a 1-axis
+``Mesh("data")`` with batch-sharded inputs and replicated parameters.  The
+gradient all-reduce over ICI is inserted by XLA from the sharding
+annotations — the idiomatic `jit` + `NamedSharding` formulation rather than
+explicit collectives.
+
+Scaling beyond pure DP (e.g. sharding the channel axis of the scan across a
+"model" axis) is a mesh-axis change: the selective scan is batched over
+(B, D) rows, so extra axes partition cleanly without rewrites.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                axis: str = "data") -> Dict[str, Any]:
+    """Place host arrays batch-sharded across the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
+    """Wrap a (state, batch, rng, lr) -> (state, metrics) step with mesh
+    shardings: state replicated, batch sharded on its leading axis.  XLA
+    turns the gradient reduction into a psum over ICI."""
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, bsh, repl, repl),
+        donate_argnums=(0,),
+    )
