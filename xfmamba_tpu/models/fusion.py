@@ -20,8 +20,8 @@ from flax import linen as nn
 from xfmamba_tpu.models.layers import (
     LN_EPS, Conv2dSame, Dense, DropPath, trunc_normal_init)
 from xfmamba_tpu.models.ss2d import (
-    _project_kdirs, a_log_init, dt_proj_bias_init, dt_proj_weight_init,
-    ss2d_core_from_projs)
+    _project_kdirs, a_log_init, core_dispatch, dt_proj_bias_init,
+    dt_proj_weight_init)
 from xfmamba_tpu.ops.selective_scan import selective_scan
 
 
@@ -265,6 +265,7 @@ class CrossSS2Dv5(nn.Module):
     scan_mode: str = "cross2d"
     dtype: Any = jnp.float32
     scan_impl: Callable = selective_scan
+    scan_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, x2, deterministic: bool = True):
@@ -317,23 +318,26 @@ class CrossSS2Dv5(nn.Module):
 
         dts_f, Bs_f, Cs_f = _project_kdirs(xf_p, x_proj_weight,
                                            dt_projs_weight, R, N)
-        y_fuse = ss2d_core_from_projs(xf_p, dts_f, Bs_f, Cs_f, A, Dmat, bias,
-                                      scan_mode=self.scan_mode,
-                                      scan_impl=self.scan_impl)
+        y_fuse = core_dispatch(xf_p, dts_f, Bs_f, Cs_f, A, Dmat, bias,
+                               scan_mode=self.scan_mode,
+                               backend=self.scan_backend,
+                               scan_impl=self.scan_impl)
         y_fuse = out_norm(y_fuse.astype(x.dtype))
 
         dts1, Bs1, _ = _project_kdirs(x_p, x_proj_weight, dt_projs_weight,
                                       R, N)
-        y = ss2d_core_from_projs(x_p, dts1, Bs1, Cs_f, A, Dmat, bias,
-                                 scan_mode=self.scan_mode,
-                                 scan_impl=self.scan_impl)
+        y = core_dispatch(x_p, dts1, Bs1, Cs_f, A, Dmat, bias,
+                          scan_mode=self.scan_mode,
+                          backend=self.scan_backend,
+                          scan_impl=self.scan_impl)
         y = out_norm(y.astype(x.dtype))
 
         dts2, Bs2, _ = _project_kdirs(x2_p, x_proj_weight, dt_projs_weight,
                                       R, N)
-        y2 = ss2d_core_from_projs(x2_p, dts2, Bs2, Cs_f, A, Dmat, bias,
-                                  scan_mode=self.scan_mode,
-                                  scan_impl=self.scan_impl)
+        y2 = core_dispatch(x2_p, dts2, Bs2, Cs_f, A, Dmat, bias,
+                           scan_mode=self.scan_mode,
+                           backend=self.scan_backend,
+                           scan_impl=self.scan_impl)
         y2 = out_norm(y2.astype(x2.dtype))
 
         y_fusion3 = y * z + y2 * z + y_fuse * z

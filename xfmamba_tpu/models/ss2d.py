@@ -245,9 +245,24 @@ def ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
     return y.reshape(B, H, W, D)
 
 
+def core_dispatch(x, dts, Bs, Cs, A, Dmat, bias, scan_mode="cross2d",
+                  backend="auto", scan_impl=selective_scan):
+    """Select the fused Pallas kernel (TPU, cross2d) or the XLA
+    associative-scan formulation."""
+    if backend == "auto":
+        use_pallas = (scan_mode == "cross2d"
+                      and jax.default_backend() != "cpu")
+        backend = "pallas" if use_pallas else "xla"
+    if backend == "pallas":
+        from xfmamba_tpu.ops.selective_scan_pallas import ss2d_core_pallas
+        return ss2d_core_pallas(x, dts, Bs, Cs, A, Dmat, bias)
+    return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                scan_mode=scan_mode, scan_impl=scan_impl)
+
+
 def ss2d_core(x, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
               d_state: int, scan_mode: str = "cross2d",
-              scan_impl: Callable = selective_scan):
+              scan_impl: Callable = selective_scan, backend: str = "auto"):
     """Fused cross-scan → selective-scan → cross-merge on (B, H, W, D).
 
     Returns (B, H, W, D) fp32 (pre-out-norm).  Summation order matches the
@@ -262,8 +277,8 @@ def ss2d_core(x, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
     Dmat = Ds.astype(jnp.float32).reshape(K, D) if Ds is not None else None
     bias = (dt_projs_bias.astype(jnp.float32).reshape(K, D)
             if dt_projs_bias is not None else None)
-    return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
-                                scan_mode=scan_mode, scan_impl=scan_impl)
+    return core_dispatch(x, dts, Bs, Cs, A, Dmat, bias, scan_mode=scan_mode,
+                         backend=backend, scan_impl=scan_impl)
 
 
 def ss2d_core_cascade2d(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
@@ -372,6 +387,7 @@ class SS2D(nn.Module):
     k_group: int = 4
     dtype: Any = jnp.float32
     scan_impl: Callable = selective_scan
+    scan_backend: str = "auto"  # auto | pallas | xla
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -429,7 +445,8 @@ class SS2D(nn.Module):
         else:
             y = ss2d_core(xin, x_proj_weight, dt_projs_weight, dt_projs_bias,
                           A_logs, Ds, N, scan_mode=mode.scan_mode,
-                          scan_impl=self.scan_impl)
+                          scan_impl=self.scan_impl,
+                          backend=self.scan_backend)
         y = y.astype(x.dtype)
         y = OutNorm(mode.out_norm, d_inner, dtype=self.dtype,
                     name="out_norm")(y)
