@@ -39,9 +39,12 @@ _BACKBONE_DEFAULTS = dict(
 )
 
 
-def _make_backbone(model_type: str, dtype, use_checkpoint: bool = False):
+def _make_backbone(model_type: str, dtype, use_checkpoint: bool = False,
+                   overrides=None):
     cfg = dict(_BACKBONE_DEFAULTS)
     cfg.update(_BACKBONE_CFG[model_type])
+    if overrides:
+        cfg.update(overrides)
     return VSSM(dtype=dtype, use_checkpoint=use_checkpoint,
                 name="mamba_feature_extrac", **cfg)
 
@@ -119,12 +122,15 @@ class TwoViewXFMamba(nn.Module):
     d_state: int = 16
     drop_path_rate: float = 0.1
     use_checkpoint: bool = False
+    # test/experiment hook: override backbone geometry (depths/dims/...)
+    backbone_overrides: Optional[dict] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_a, x_b, deterministic: bool = True):
         backbone = _make_backbone(self.model_type, self.dtype,
-                                  self.use_checkpoint)
+                                  self.use_checkpoint,
+                                  self.backbone_overrides)
         z_a = backbone(_expand_gray(x_a), deterministic=deterministic)[3]
         z_b = backbone(_expand_gray(x_b), deterministic=deterministic)[3]
 
