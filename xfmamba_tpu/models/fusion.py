@@ -347,6 +347,172 @@ class CrossSS2Dv5(nn.Module):
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
+class CrossSS2Dv2(nn.Module):
+    """Superseded 2-input fusion op (`vmamba.py:715-1005`): x goes through
+    ``in_proj`` (2·d_inner, chunked into x/z), x2 through ``in_proj_sec``
+    (d_inner); shared dwconv; each stream runs a *normal* SS2D core with its
+    own C; both outputs gated by z (from x); out = out_proj(y + y2)."""
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: Callable = nn.silu
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    scan_mode: str = "cross2d"
+    dtype: Any = jnp.float32
+    scan_impl: Callable = selective_scan
+    scan_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, x2, deterministic: bool = True):
+        d_inner = int(self.ssm_ratio * self.d_model)
+        dt_rank = (int(math.ceil(self.d_model / 16))
+                   if self.dt_rank == "auto" else int(self.dt_rank))
+        K, N, R = 4, self.d_state, dt_rank
+
+        xz = Dense(2 * d_inner, use_bias=self.bias, dtype=self.dtype,
+                   kernel_init=trunc_normal_init(), name="in_proj")(x)
+        x_p, z = jnp.split(xz, 2, axis=-1)
+        z = self.act(z)
+        x2_p = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="in_proj_sec")(x2)
+
+        if self.d_conv > 1:
+            conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                              feature_group_count=d_inner,
+                              use_bias=self.conv_bias, dtype=self.dtype,
+                              name="conv2d")
+            x_p, x2_p = conv(x_p), conv(x2_p)
+        x_p, x2_p = self.act(x_p), self.act(x2_p)
+
+        x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
+                                   (K, R + 2 * N, d_inner))
+        dt_projs_weight = self.param(
+            "dt_projs_weight",
+            dt_proj_weight_init(R, self.dt_scale, self.dt_init),
+            (K, d_inner, R))
+        dt_projs_bias = self.param(
+            "dt_projs_bias",
+            dt_proj_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (K, d_inner))
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.ones(shape, dtype),
+                        (K * d_inner,))
+        A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, d_inner, N)
+        Dmat = Ds.astype(jnp.float32).reshape(K, d_inner)
+        bias = dt_projs_bias.astype(jnp.float32)
+        out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="out_norm")
+
+        def core(v):
+            dts, Bs, Cs = _project_kdirs(v, x_proj_weight, dt_projs_weight,
+                                         R, N)
+            y = core_dispatch(v, dts, Bs, Cs, A, Dmat, bias,
+                              scan_mode=self.scan_mode,
+                              backend=self.scan_backend,
+                              scan_impl=self.scan_impl)
+            return out_norm(y.astype(x.dtype))
+
+        y = core(x_p) * z
+        y2 = core(x2_p) * z
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="out_proj")(y + y2)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+class CrossSS2Dv3(nn.Module):
+    """Superseded 3-stream fusion op (`vmamba.py:1134-1436`):
+    ``x_fuse = x + x2`` (sum, not mean); all three streams through the shared
+    ``in_proj_sec``/dwconv; three *independent* normal SS2D cores (no Cs_fuse
+    substitution — that is the v5 refinement); gate z = act(in_proj_sec(
+    x_fuse)); out = out_proj((y + y2 + y_fuse) * z-applied-per-stream)."""
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: Callable = nn.silu
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    scan_mode: str = "cross2d"
+    dtype: Any = jnp.float32
+    scan_impl: Callable = selective_scan
+    scan_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, x2, deterministic: bool = True):
+        d_inner = int(self.ssm_ratio * self.d_model)
+        dt_rank = (int(math.ceil(self.d_model / 16))
+                   if self.dt_rank == "auto" else int(self.dt_rank))
+        K, N, R = 4, self.d_state, dt_rank
+
+        x_fuse = x + x2
+        in_proj_sec = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
+                            kernel_init=trunc_normal_init(),
+                            name="in_proj_sec")
+        x_p, x2_p, xf_p = in_proj_sec(x), in_proj_sec(x2), in_proj_sec(x_fuse)
+        z = self.act(xf_p)
+
+        if self.d_conv > 1:
+            conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                              feature_group_count=d_inner,
+                              use_bias=self.conv_bias, dtype=self.dtype,
+                              name="conv2d")
+            x_p, x2_p, xf_p = conv(x_p), conv(x2_p), conv(xf_p)
+        x_p, x2_p, xf_p = self.act(x_p), self.act(x2_p), self.act(xf_p)
+
+        x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
+                                   (K, R + 2 * N, d_inner))
+        dt_projs_weight = self.param(
+            "dt_projs_weight",
+            dt_proj_weight_init(R, self.dt_scale, self.dt_init),
+            (K, d_inner, R))
+        dt_projs_bias = self.param(
+            "dt_projs_bias",
+            dt_proj_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (K, d_inner))
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.ones(shape, dtype),
+                        (K * d_inner,))
+        A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, d_inner, N)
+        Dmat = Ds.astype(jnp.float32).reshape(K, d_inner)
+        bias = dt_projs_bias.astype(jnp.float32)
+        out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name="out_norm")
+
+        def core(v):
+            dts, Bs, Cs = _project_kdirs(v, x_proj_weight, dt_projs_weight,
+                                         R, N)
+            y = core_dispatch(v, dts, Bs, Cs, A, Dmat, bias,
+                              scan_mode=self.scan_mode,
+                              backend=self.scan_backend,
+                              scan_impl=self.scan_impl)
+            return out_norm(y.astype(x.dtype))
+
+        y_sum = (core(x_p) + core(x2_p) + core(xf_p)) * z
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="out_proj")(y_sum)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
 class FusionBlock(nn.Module):
     """Pre-norm cross-fusion block (`fusion_vmamba.py:613-643`): shared norm,
     Cross_SS2Dv5, droppath; residual x1 + x2 + attn(x1, x2)."""

@@ -38,7 +38,10 @@ from flax import linen as nn
 
 from xfmamba_tpu.models.layers import (
     LN_EPS, Conv2dSame, Dense, gelu, trunc_normal_init)
+from xfmamba_tpu.ops.cross_scan import (
+    cross_merge, cross_scan, cross_scan_1b1)
 from xfmamba_tpu.ops.selective_scan import selective_scan
+from xfmamba_tpu.ops.ssd import ssd_chunk_scan
 
 
 # =====================================================================
@@ -94,14 +97,70 @@ def parse_forward_type(forward_type: str) -> SS2DMode:
         if strip(tag):
             out_norm = kind
             break
-    if ft not in _BASE_TYPES:
+    if ft == "m0":
+        scan_mode = "cross2d"
+    elif ft in _BASE_TYPES:
+        _, scan_mode = _BASE_TYPES[ft]
+    else:
         raise ValueError(f"unsupported forward_type base {ft!r} "
                          f"(from {forward_type!r})")
-    _, scan_mode = _BASE_TYPES[ft]
     del disable_force32  # fp32 scan state is unconditional on TPU
     return SS2DMode(base=ft, scan_mode=scan_mode, disable_z=disable_z,
                     disable_z_act=disable_z_act, oact=oact, out_norm=out_norm,
                     is_v0=ft in ("v0", "v0seq"))
+
+
+@dataclass(frozen=True)
+class XVMode:
+    base: str       # xv1a | xv2a | xv3a
+    out_norm: str
+    omul: bool
+    oact: bool
+    cact: str       # "id" | "silu" | "gelu"
+    iconv: bool
+    oconv: bool
+    oconv2: bool
+    cpos: bool
+
+
+def parse_xv_type(forward_type: str, with_dconv: bool = True) -> XVMode:
+    """Postfix chain of SS2Dv3.__initxv__ (`vmamba.py:1560-1590`):
+    out-norm tags, then _mul, _act, then conv tags _ca/_ca1/_ocov2/_ocov/_cpos;
+    base must be xv1a/xv2a/xv3a."""
+    ft = forward_type
+
+    def strip(tag):
+        nonlocal ft
+        if ft.endswith(tag):
+            ft = ft[: -len(tag)]
+            return True
+        return False
+
+    out_norm = "ln"
+    for tag, kind in [("_onnone", "none"), ("_ondwconv3", "dwconv3"),
+                      ("_oncnorm", "cnorm"), ("_onsoftmax", "softmax"),
+                      ("_onsigmoid", "sigmoid")]:
+        if strip(tag):
+            out_norm = kind
+            break
+    omul = strip("_mul")
+    oact = strip("_act")
+    cact, cpos, oconv, oconv2 = "id", False, False, False
+    if with_dconv:
+        if strip("_ca"):
+            cact = "silu"
+        if strip("_ca1"):
+            cact = "gelu"
+        oconv2 = strip("_ocov2")
+        oconv = strip("_ocov")
+        cpos = strip("_cpos")
+    iconv = with_dconv and (not oconv) and (not oconv2)
+    base = ft[:4]
+    if base not in ("xv1a", "xv2a", "xv3a"):
+        raise ValueError(f"unsupported xv forward_type {forward_type!r}")
+    return XVMode(base=base, out_norm=out_norm, omul=omul, oact=oact,
+                  cact=cact, iconv=iconv, oconv=oconv, oconv2=oconv2,
+                  cpos=cpos)
 
 
 # =====================================================================
@@ -388,9 +447,17 @@ class SS2D(nn.Module):
     dtype: Any = jnp.float32
     scan_impl: Callable = selective_scan
     scan_backend: str = "auto"  # auto | pallas | xla
+    chunk_size: int = 64            # m0 (Mamba-2/SSD) path
+    with_initial_state: bool = False  # m0: learnable carried state
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # facade dispatch, mirroring SS2D.__init__ (`vmamba.py:1944-1951`):
+        # v0*/v2-family -> the v2 body below; m0* -> Mamba-2 SSD; xv* -> v3.
+        if self.forward_type.startswith("m0"):
+            return self._forward_m0(x, deterministic)
+        if self.forward_type.startswith("xv"):
+            return self._forward_xv(x, deterministic)
         mode = parse_forward_type(self.forward_type)
         d_inner = int(self.ssm_ratio * self.d_model)
         dt_rank = (int(math.ceil(self.d_model / 16))
@@ -459,3 +526,206 @@ class SS2D(nn.Module):
                     kernel_init=trunc_normal_init(), name="out_proj")(y)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out
+
+    # -----------------------------------------------------------------
+    # m0: Mamba-2 / SSD path (`SS2Dm0`, vmamba.py:1717-1906)
+    # -----------------------------------------------------------------
+
+    def _forward_m0(self, x, deterministic: bool):
+        mode = parse_forward_type(self.forward_type)
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = (int(math.ceil(self.d_model / 16))
+             if self.dt_rank == "auto" else int(self.dt_rank))
+        assert d_inner % R == 0, "m0 requires dt_rank | d_inner"
+        Dh = d_inner // R            # headdim
+        K, N = self.k_group, self.d_state
+        KR = K * R
+
+        d_proj = d_inner if mode.disable_z else 2 * d_inner
+        xz = Dense(d_proj, use_bias=self.bias, dtype=self.dtype,
+                   kernel_init=trunc_normal_init(), name="in_proj")(x)
+        if not mode.disable_z:
+            xin, z = jnp.split(xz, 2, axis=-1)
+            if not mode.disable_z_act:
+                z = self.act(z)
+        else:
+            xin, z = xz, None
+        if self.d_conv > 1:
+            xin = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
+                             feature_group_count=d_inner,
+                             use_bias=self.conv_bias, dtype=self.dtype,
+                             name="conv2d")(xin)
+        xin = self.act(xin)
+
+        # head-structured params (`vmamba.py:1804-1818`); m0 supports only
+        # the simple initializers v1/v2 (the reference has no v0 branch)
+        init = "v2" if self.initialize == "v0" else self.initialize
+        x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
+                                   (K, R + 2 * N, d_inner))
+        Ds = self.param("Ds",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.ones(shape, dtype), (K, R, Dh))
+        if init == "v1":
+            A_logs = self.param(
+                "A_logs",
+                lambda key, shape, dtype=jnp.float32:
+                jax.random.normal(key, shape, dtype), (K, R))
+            dt_projs_bias = self.param(
+                "dt_projs_bias",
+                lambda key, shape, dtype=jnp.float32:
+                0.1 * jax.random.normal(key, shape, dtype), (K, R))
+        else:
+            A_logs = self.param(
+                "A_logs",
+                lambda key, shape, dtype=jnp.float32:
+                jnp.zeros(shape, dtype), (K, R))
+            dt_projs_bias = self.param(
+                "dt_projs_bias",
+                lambda key, shape, dtype=jnp.float32:
+                0.1 * jax.random.uniform(key, shape, dtype), (K, R))
+
+        B_, H, W, _ = xin.shape
+        L = H * W
+        scans = {"cross2d": 0, "unidi": 1, "bidi": 2}[mode.scan_mode]
+        xs = cross_scan(xin, scans=scans)                 # (B, 4, L, Din)
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+
+        xh = jnp.swapaxes(xs, 1, 2).reshape(B_, L, KR, Dh)
+        dth = jnp.swapaxes(dts, 1, 2).reshape(B_, L, KR)
+        Bh = jnp.swapaxes(Bs, 1, 2)                       # (B, L, K, N)
+        Ch = jnp.swapaxes(Cs, 1, 2)
+
+        initial_states = None
+        init_var = None
+        if self.with_initial_state:
+            init_var = self.variable(
+                "ssm_state", "initial_state",
+                lambda: jnp.zeros((1, KR, Dh, N), jnp.float32))
+            initial_states = jnp.broadcast_to(
+                jax.lax.stop_gradient(init_var.value), (B_, KR, Dh, N))
+
+        ys, final_state = ssd_chunk_scan(
+            xh, dth, -jnp.exp(A_logs.astype(jnp.float32)).reshape(KR),
+            Bh, Ch, chunk_size=self.chunk_size,
+            D=Ds.astype(jnp.float32).reshape(KR, Dh),
+            dt_bias=dt_projs_bias.astype(jnp.float32).reshape(KR),
+            initial_states=initial_states, dt_softplus=True,
+            return_final_states=True)
+
+        if init_var is not None and not self.is_initializing() \
+                and self.is_mutable_collection("ssm_state"):
+            init_var.value = jax.lax.stop_gradient(
+                final_state.sum(0, keepdims=True))
+
+        ys = jnp.swapaxes(ys.reshape(B_, L, K, d_inner), 1, 2)
+        y = cross_merge(ys, H, W, scans=scans).reshape(B_, H, W, d_inner)
+        y = y.astype(x.dtype)
+        y = OutNorm(mode.out_norm, d_inner, dtype=self.dtype,
+                    name="out_norm")(y)
+        if mode.oact:
+            y = gelu(y)
+        if z is not None:
+            y = y * z
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="out_proj")(y)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+    # -----------------------------------------------------------------
+    # xv: omni-projection path (`SS2Dv3.forwardxv`, vmamba.py:1519-1713)
+    # -----------------------------------------------------------------
+
+    def _forward_xv(self, x, deterministic: bool):
+        mode = parse_xv_type(self.forward_type, with_dconv=self.d_conv > 1)
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = (int(math.ceil(self.d_model / 16))
+             if self.dt_rank == "auto" else int(self.dt_rank))
+        K, N = 4, self.d_state
+        dts_dim = dict(xv1a=R, xv2a=d_inner, xv3a=4 * R)[mode.base]
+        d_inner_all = d_inner + dts_dim + 8 * N
+        cact = dict(id=lambda v: v, silu=nn.silu, gelu=gelu)[mode.cact]
+
+        def dwconv(ch, name):
+            return Conv2dSame(ch, (self.d_conv, self.d_conv),
+                              feature_group_count=ch,
+                              use_bias=self.conv_bias, dtype=self.dtype,
+                              name=name)
+
+        if mode.iconv:
+            x = cact(dwconv(x.shape[-1], "conv2d")(x))
+        elif mode.cpos:
+            x = x + dwconv(x.shape[-1], "conv2d")(x)
+
+        xall = Dense(d_inner_all, use_bias=self.bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="in_proj")(x)
+        if mode.oconv2:
+            xall = dwconv(d_inner_all, "conv2d")(xall)
+
+        us, dts, Bs, Cs = jnp.split(
+            xall, [d_inner, d_inner + dts_dim, d_inner + dts_dim + 4 * N],
+            axis=-1)
+        _us = us
+        B_, H, W, _ = us.shape
+        L = H * W
+
+        us_k = cross_scan(us)                                # (B, 4, L, Din)
+        Bs_k = cross_scan_1b1(Bs.reshape(B_, H, W, 4, N)
+                              .transpose(0, 3, 1, 2, 4))     # (B, 4, L, N)
+        Cs_k = cross_scan_1b1(Cs.reshape(B_, H, W, 4, N)
+                              .transpose(0, 3, 1, 2, 4))
+
+        # dt projection per direction (`vmamba.py:1677-1681`)
+        dt_projs_weight = None
+        if mode.base != "xv2a":
+            if self.initialize == "v0":
+                dt_w_init = dt_proj_weight_init(R, self.dt_scale,
+                                                self.dt_init)
+            else:
+                dt_w_init = simple_init(self.initialize, "dt_w")
+            dt_projs_weight = self.param("dt_projs_weight", dt_w_init,
+                                         (K, d_inner, R))
+        if mode.base == "xv1a":
+            dts_k = cross_scan(dts)                          # (B, 4, L, R)
+            dts_k = jnp.einsum("bklr,kdr->bkld", dts_k, dt_projs_weight)
+        elif mode.base == "xv3a":
+            dts_k = cross_scan_1b1(dts.reshape(B_, H, W, 4, R)
+                                   .transpose(0, 3, 1, 2, 4))
+            dts_k = jnp.einsum("bklr,kdr->bkld", dts_k, dt_projs_weight)
+        else:  # xv2a: dts already d_inner wide, shared traversal
+            dts_k = cross_scan(dts)                          # (B, 4, L, Din)
+
+        if self.initialize == "v0":
+            A_init = a_log_init(N)
+            D_init = lambda key, shape, dtype=jnp.float32: jnp.ones(shape,
+                                                                    dtype)
+            dt_b_init = dt_proj_bias_init(self.dt_min, self.dt_max,
+                                          self.dt_init_floor)
+        else:
+            A_init = simple_init(self.initialize, "A_logs")
+            D_init = simple_init(self.initialize, "Ds")
+            dt_b_init = simple_init(self.initialize, "dt_b")
+        A_logs = self.param("A_logs", A_init, (K * d_inner, N))
+        Ds = self.param("Ds", D_init, (K * d_inner,))
+        dt_projs_bias = self.param("dt_projs_bias", dt_b_init, (K, d_inner))
+
+        u = jnp.swapaxes(us_k, 1, 2).reshape(B_, L, K * d_inner)
+        delta = jnp.swapaxes(dts_k, 1, 2).reshape(B_, L, K * d_inner)
+        ys = self.scan_impl(
+            u, delta, -jnp.exp(A_logs.astype(jnp.float32)),
+            jnp.swapaxes(Bs_k, 1, 2), jnp.swapaxes(Cs_k, 1, 2),
+            Ds.astype(jnp.float32), dt_projs_bias.reshape(-1),
+            delta_softplus=True)                             # (B, L, K*Din)
+        ys = jnp.swapaxes(ys.reshape(B_, L, K, d_inner), 1, 2)
+        y = cross_merge(ys, H, W).reshape(B_, H, W, d_inner)
+        y = y.astype(x.dtype)
+        y = OutNorm(mode.out_norm, d_inner, dtype=self.dtype,
+                    name="out_norm")(y)
+        if mode.oact:
+            y = gelu(y)
+        if mode.omul:
+            y = y * _us
+        if mode.oconv:
+            y = y + cact(dwconv(d_inner, "oconv2d")(_us))
+        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init(), name="out_proj")(y)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)

@@ -337,6 +337,23 @@ def vmamba_base_s1l20(num_classes=1000):
                  False, 4.0, num_classes)
 
 
+def vmamba_tiny_m2(num_classes=1000):
+    """Mamba-2 (SSD) tiny (`vmamba.py:2570-2582`): d_state 64, GELU,
+    forward_type m0_noz, ssm_init v2."""
+    return _vssm((2, 2, 4, 2), 96, 0.2, 64, 1.0, "m0_noz", "v3", "v2", False,
+                 4.0, num_classes, ssm_init="v2", ssm_act="gelu")
+
+
+def vmamba_small_m2(num_classes=1000):
+    return _vssm((2, 2, 12, 2), 96, 0.3, 64, 1.0, "m0_noz", "v3", "v2",
+                 False, 4.0, num_classes, ssm_init="v2", ssm_act="gelu")
+
+
+def vmamba_base_m2(num_classes=1000):
+    return _vssm((2, 2, 12, 2), 128, 0.3, 64, 1.0, "m0_noz", "v3", "v2",
+                 False, 4.0, num_classes, ssm_init="v2", ssm_act="gelu")
+
+
 def build_model(num_classes=1000):
     """`models/__init__.py:50-53` — the default backbone is VMamba-S s2l15."""
     return vmamba_small_s2l15(num_classes=num_classes)
