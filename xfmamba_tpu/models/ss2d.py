@@ -184,7 +184,7 @@ def dt_proj_bias_init(dt_min: float = 0.001, dt_max: float = 0.1,
         u = jax.random.uniform(key, shape, dtype)
         dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min))
                      + math.log(dt_min))
-        dt = jnp.clip(dt, a_min=dt_init_floor)
+        dt = jnp.maximum(dt, dt_init_floor)
         # inverse softplus
         return dt + jnp.log(-jnp.expm1(-dt))
     return init

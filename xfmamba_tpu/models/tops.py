@@ -134,6 +134,15 @@ class TwoViewXFMamba(nn.Module):
         z_a = backbone(_expand_gray(x_a), deterministic=deterministic)[3]
         z_b = backbone(_expand_gray(x_b), deterministic=deterministic)[3]
 
+        # saliency hooks (GradCAM-equivalent, `2_inference_mura.py:109-121`):
+        # `sow` exposes the stage-3 feature maps via capture_intermediates;
+        # `perturb` exposes their gradients via the 'perturbations' collection
+        # (both no-ops unless the caller requests the collections)
+        z_a = self.perturb("stage3_a", z_a)
+        z_b = self.perturb("stage3_b", z_b)
+        self.sow("intermediates", "stage3_a", z_a)
+        self.sow("intermediates", "stage3_b", z_b)
+
         z_a, z_b = ShallowFusionBlock(
             hidden_dim=self.hidden_dim,
             attn_drop_rate=self.attn_drop_rate, d_state=self.d_state,

@@ -165,6 +165,23 @@ def init_train_state(model, optimizer, rng, example_inputs) -> TrainState:
                       opt_state=opt_state)
 
 
+def mixup(rng, x, y, alpha: float = 1.0, num_classes: Optional[int] = None):
+    """Mixup augmentation (`libs/utils.py:177-191`): convex combination of a
+    batch with a shuffled copy of itself.  Integer labels are one-hot encoded
+    first (pass num_classes); soft labels are mixed directly.
+
+    Returns (mixed_x, mixed_y, lam).
+    """
+    k_lam, k_perm = jax.random.split(rng)
+    lam = jax.random.beta(k_lam, alpha, alpha) if alpha > 0 else jnp.ones(())
+    perm = jax.random.permutation(k_perm, x.shape[0])
+    mixed_x = lam * x + (1 - lam) * x[perm]
+    if num_classes is not None and y.ndim == 1:
+        y = jax.nn.one_hot(y, num_classes)
+    mixed_y = lam * y + (1 - lam) * y[perm]
+    return mixed_x, mixed_y, lam
+
+
 class EarlyStopping:
     """Patience on -val_loss with best-checkpoint tracking.
 
