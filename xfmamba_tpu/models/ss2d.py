@@ -34,6 +34,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from xfmamba_tpu.models.layers import (
@@ -243,7 +244,7 @@ def _scan_group(x, dts, Bs, Cs, A, Ds, bias, ks, transposed, reverse,
         Bs = jnp.swapaxes(Bs, 1, 2)
         Cs = jnp.swapaxes(Cs, 1, 2)
     nk = len(ks)
-    ks = jnp.asarray(ks)
+    ks = np.asarray(ks)  # static direction indices (no dynamic gather)
     u = jnp.tile(x.reshape(B, L, D), (1, 1, nk)) if nk > 1 \
         else x.reshape(B, L, D)
     d_sel = dts.reshape(B, L, -1, D)[:, :, ks]      # (B,L,nk,D)
