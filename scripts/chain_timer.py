@@ -1,0 +1,40 @@
+"""Chained-in-jit timing for the remote-TPU path (see bench.py docstring):
+K dependent iterations inside one jit program; per-step = (t_K - t_1)/(K-1).
+"""
+import time
+import jax
+import jax.numpy as jnp
+
+
+def chain_time(fn, args, k_long=8, reps=3, perturb_idx=0):
+    """fn(*args) -> array(s). Chains fn k times, each iteration's input
+    perturbed by the previous output so XLA cannot elide iterations."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chained(args, k):
+        def body(i, carry):
+            args, acc = carry
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            s = jnp.tanh(leaf.sum().astype(jnp.float32))
+            args = list(args)
+            a = args[perturb_idx]
+            args[perturb_idx] = a + (s * 1e-12).astype(a.dtype)
+            return (tuple(args), acc + s)
+        (_, acc) = jax.lax.fori_loop(0, k, body,
+                                     (tuple(args), jnp.zeros((), jnp.float32)))
+        return acc
+
+    def timed(k):
+        float(chained(tuple(args), k))  # compile+warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chained(tuple(args), k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tk = timed(k_long)
+    return (tk - t1) / (k_long - 1)

@@ -139,17 +139,75 @@ def _scan_kernel(L, N, chunk, n_chunks,
 
 
 def _pick_chunk(L: int, D: int, N: int) -> int:
-    """Chunk length: bounded by a ~6 MB VMEM working-set budget (cf. the
-    CUDA kernel's fixed 2048, `selective_scan.cpp:225`)."""
+    """Chunk length: bounded by a ~4 MB VMEM working-set budget (cf. the
+    CUDA kernel's fixed 2048, `selective_scan.cpp:225`; Mosaic
+    double-buffers input blocks, so stay well under the 16 MB VMEM)."""
     d_pad = max(128, ((D + 127) // 128) * 128)
     budget = 6 * 1024 * 1024
-    n_bufs = 10 + 2 * N
+    # the N==1 fast kernel keeps fewer live f32 arrays per step
+    n_bufs = 8 if N == 1 else 10 + 2 * N
     chunk = budget // (d_pad * 4 * n_bufs)
     chunk = max(128, 1 << int(math.floor(math.log2(max(chunk, 128)))))
+    # Hillis-Steele VPU work grows as chunk*log2(chunk): beyond 256 the
+    # extra log stages cost more than the saved per-step overhead (measured)
+    chunk = min(chunk, 256)
     if L <= chunk:
         # round L up to a sublane multiple
         return ((L + 7) // 8) * 8
     return chunk
+
+
+def _scan_kernel_n1(L, chunk, n_chunks, out_dtype,
+                    u_f_ref, u_r_ref, dt_f_ref, dt_r_ref,
+                    B_f_ref, B_r_ref, C_f_ref, C_r_ref,
+                    A_ref, Dsk_ref, bias_ref,
+                    yf_ref, yr_ref,
+                    carry_f, carry_r):
+    """d_state==1 fast path (the shipped VMamba configs, `vmamba.py:2480`).
+
+    Specializations vs the general kernel: no fori over N, no masked lane
+    reductions (B/C are (chunk, 1) broadcasts), carries read with *static*
+    slices — the identity-padded tail (a=1, b=0) already propagates the last
+    valid state to the chunk edge, so h[-1] / h[0] are the correct carries.
+    These cut the per-grid-step cost ~10x (measured 10us -> ~1us/step).
+    """
+    p = pl.program_id(1)          # direction pair: 0 row-major, 1 col-major
+    c = pl.program_id(2)          # forward chunk index
+    rc = n_chunks - 1 - c         # reverse chunk index (data position)
+
+    @pl.when(c == 0)
+    def _():
+        carry_f[...] = jnp.zeros_like(carry_f)
+        carry_r[...] = jnp.zeros_like(carry_r)
+
+    D = u_f_ref.shape[-1]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def one(u_ref, dt_ref, B_ref, C_ref, k, base, carry, reverse, y_ref):
+        u = u_ref[0, 0].astype(jnp.float32)               # (chunk, D)
+        dt = dt_ref[0, 0].astype(jnp.float32)
+        bias = bias_ref[pl.ds(k, 1), :].astype(jnp.float32)   # (1, D)
+        dt = jax.nn.softplus(dt + bias)
+        a_row = A_ref[pl.ds(k, 1), :].astype(jnp.float32)     # (1, D)
+        dsk = Dsk_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        Bn = B_ref[0, 0].astype(jnp.float32)              # (chunk, 1)
+        Cn = C_ref[0, 0].astype(jnp.float32)
+        valid = (base + row1) < L                          # (chunk, 1)
+
+        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        b = jnp.where(valid, dt * u * Bn, 0.0)
+        a, b = _hillis_steele(a, b, chunk, reverse)
+        h = b + a * carry[...]                             # (chunk, D)
+        if reverse:
+            carry[...] = h[0:1, :]
+        else:
+            carry[...] = h[chunk - 1:chunk, :]
+        y_ref[0, 0] = (Cn * h + u * dsk).astype(out_dtype)
+
+    one(u_f_ref, dt_f_ref, B_f_ref, C_f_ref, p, c * chunk,
+        carry_f, False, yf_ref)
+    one(u_r_ref, dt_r_ref, B_r_ref, C_r_ref, p + 2, rc * chunk,
+        carry_r, True, yr_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
@@ -161,8 +219,17 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
     chunk = chunk or _pick_chunk(L, D, N)
     n_chunks = pl.cdiv(L, chunk)
 
-    # (4, D, N) -> (4, N, D): dynamic n-index must land on a sublane dim
-    A = jnp.swapaxes(A.astype(jnp.float32), 1, 2)
+    if N == 1:
+        # fast path: A as (4, D) rows; outputs in the input dtype (the
+        # reference's oflex output-dtype semantics, `csms6s.py:76-78`)
+        A = A.astype(jnp.float32).reshape(4, D)
+        out_dtype = u2.dtype
+        scratch_n = 1
+    else:
+        # (4, D, N) -> (4, N, D): dynamic n-index must land on a sublane dim
+        A = jnp.swapaxes(A.astype(jnp.float32), 1, 2)
+        out_dtype = jnp.float32
+        scratch_n = N
     Dsk = Dsk.astype(jnp.float32)
     bias = bias.astype(jnp.float32)
 
@@ -193,15 +260,19 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
     blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out_shape = [
-        jax.ShapeDtypeStruct((B, 2, L, D), jnp.float32),
-        jax.ShapeDtypeStruct((B, 2, L, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
+        jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
     ]
     out_specs = [
         pl.BlockSpec((1, 1, chunk, D), im_fwd, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, chunk, D), im_rev, memory_space=pltpu.VMEM),
     ]
 
-    kernel = functools.partial(_scan_kernel, L, N, chunk, n_chunks)
+    if N == 1:
+        kernel = functools.partial(_scan_kernel_n1, L, chunk, n_chunks,
+                                   out_dtype)
+    else:
+        kernel = functools.partial(_scan_kernel, L, N, chunk, n_chunks)
     yf, yr = pl.pallas_call(
         kernel,
         grid=grid,
@@ -211,8 +282,8 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((N, D), jnp.float32),
-            pltpu.VMEM((N, D), jnp.float32),
+            pltpu.VMEM((scratch_n, D), jnp.float32),
+            pltpu.VMEM((scratch_n, D), jnp.float32),
         ],
         interpret=interpret,
     )(u2, u2, dts, dts, Bs, Bs, Cs, Cs, A, Dsk, bias)
@@ -248,8 +319,11 @@ def _core_pallas_fwd_impl(x, dts, Bs, Cs, A, Dmat, bias, interpret=False,
 
     yf, yr = fused_cross_scan(u2, dts4, Bs4, Cs4, A, Dmat, bias,
                               interpret=interpret, chunk=chunk)
-    y_row = yf[:, 0] + yr[:, 0]
-    y_col = (yf[:, 1] + yr[:, 1]).reshape(B, W, H, D)
+    # merge in f32 regardless of the kernel's output dtype (bf16 on the
+    # d_state==1 fast path) — summation order matches cross_merge
+    y_row = yf[:, 0].astype(jnp.float32) + yr[:, 0].astype(jnp.float32)
+    y_col = (yf[:, 1].astype(jnp.float32) + yr[:, 1].astype(jnp.float32)
+             ).reshape(B, W, H, D)
     y_col = jnp.swapaxes(y_col, 1, 2).reshape(B, L, D)
     return (y_row + y_col).reshape(B, H, W, D)
 
