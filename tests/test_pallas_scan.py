@@ -3,6 +3,7 @@ interpreter mode on CPU (the real-TPU path is exercised by bench.py)."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from xfmamba_tpu.models.ss2d import ss2d_core_from_projs
@@ -29,4 +30,84 @@ def test_pallas_matches_xla_core(B, H, W, D, N, chunk):
     y_ref = ss2d_core_from_projs(*args, scan_mode="cross2d")
     y_pal = _core_pallas_fwd_impl(*args, interpret=True, chunk=chunk)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+# =====================================================================
+# grouped (K, N) kernel
+# =====================================================================
+
+def test_grouped_scan_matches_oracle():
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    from xfmamba_tpu.ops.selective_scan_pallas import grouped_scan_pallas_fwd
+
+    key = jax.random.key(0)
+    B, L, K, C, N = 2, 49, 2, 24, 16
+    KC = K * C
+    ks = jax.random.split(key, 7)
+    u = jax.random.normal(ks[0], (B, L, KC))
+    dt = jax.random.normal(ks[1], (B, L, KC)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (KC, N)) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, L, K, N))
+    Cm = jax.random.normal(ks[4], (B, L, K, N))
+    Dv = jax.random.normal(ks[5], (KC,))
+    bias = jax.random.normal(ks[6], (KC,)) * 0.1
+
+    for reverse in (False, True):
+        want = selective_scan(u, dt, A, Bm, Cm, Dv, bias,
+                              delta_softplus=True, reverse=reverse)
+        got = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, Dv, bias,
+                                      delta_softplus=True, reverse=reverse,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_scan_chunked_matches_oracle():
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    from xfmamba_tpu.ops.selective_scan_pallas import grouped_scan_pallas_fwd
+
+    key = jax.random.key(1)
+    B, L, K, C, N = 1, 300, 1, 16, 4   # forces n_chunks > 1 with chunk=128
+    ks = jax.random.split(key, 5)
+    u = jax.random.normal(ks[0], (B, L, K * C))
+    dt = jax.random.normal(ks[1], (B, L, K * C)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (K * C, N)) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, L, K, N))
+    Cm = jax.random.normal(ks[4], (B, L, K, N))
+
+    for reverse in (False, True):
+        want = selective_scan(u, dt, A, Bm, Cm, None, None,
+                              delta_softplus=True, reverse=reverse)
+        got = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, None, None,
+                                      delta_softplus=True, reverse=reverse,
+                                      interpret=True, chunk=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_proj_n1_matches_xla_core():
+    from xfmamba_tpu.models.ss2d import ss2d_core
+    from xfmamba_tpu.ops.selective_scan_pallas import _core_fused_proj_impl
+
+    rng = np.random.default_rng(7)
+    B, H, W, D, R = 2, 10, 9, 16, 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((4, R + 2, D)) * 0.1, jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((4, D, R)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((4, D)) * 0.1, jnp.float32)
+    A_logs = jnp.asarray(rng.standard_normal((4 * D, 1)) * 0.2, jnp.float32)
+    Ds = jnp.asarray(rng.standard_normal((4 * D,)), jnp.float32)
+
+    want = ss2d_core(x, xw, dw, bias, A_logs, Ds, d_state=1,
+                     backend="xla")
+    got = _core_fused_proj_impl(x, xw, dw, bias, A_logs, Ds,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # multi-chunk
+    got2 = _core_fused_proj_impl(x, xw, dw, bias, A_logs, Ds,
+                                 interpret=True, chunk=32)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=2e-4, atol=2e-4)

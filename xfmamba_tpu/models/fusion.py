@@ -156,12 +156,19 @@ class ShallowFuseSS2Dv4(nn.Module):
         sx, sx2 = swapping_scan(x_c, x2_c)
         xs = jnp.stack([sx.reshape(B, L, d_inner),
                         sx2.reshape(B, L, d_inner)], axis=2)  # (B,L,2,D)
-        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
+        x_dbl = jnp.einsum("blkd,kcd->blkc", xs,
+                           x_proj_weight.astype(xs.dtype))
         dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
+        dts = jnp.einsum("blkr,kdr->blkd", dts,
+                         dt_projs_weight.astype(xs.dtype))
 
+        scan_impl = self.scan_impl
+        if scan_impl is selective_scan and jax.default_backend() != "cpu":
+            from xfmamba_tpu.ops.selective_scan_pallas import (
+                selective_scan_auto)
+            scan_impl = selective_scan_auto
         u = xs.reshape(B, L, K * d_inner)
-        ys = self.scan_impl(
+        ys = scan_impl(
             u, dts.reshape(B, L, K * d_inner),
             -jnp.exp(A_logs.astype(jnp.float32)),
             Bs, Cs, Ds, dt_projs_bias.reshape(-1), delta_softplus=True)

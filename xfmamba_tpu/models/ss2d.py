@@ -318,8 +318,18 @@ def core_dispatch(x, dts, Bs, Cs, A, Dmat, bias, scan_mode="cross2d",
                       and jax.default_backend() != "cpu")
         backend = "pallas" if use_pallas else "xla"
     if backend == "pallas":
-        from xfmamba_tpu.ops.selective_scan_pallas import ss2d_core_pallas
-        return ss2d_core_pallas(x, dts, Bs, Cs, A, Dmat, bias)
+        N = A.shape[-1]
+        if N == 1:
+            from xfmamba_tpu.ops.selective_scan_pallas import (
+                ss2d_core_pallas)
+            return ss2d_core_pallas(x, dts, Bs, Cs, A, Dmat, bias)
+        # N>1 (fusion ops, d_state=16): per-direction grouped kernel with
+        # in-kernel reverse — avoids the XLA associative scan's (B,L,D,N)
+        # materializations
+        from xfmamba_tpu.ops.selective_scan_pallas import selective_scan_auto
+        return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                    scan_mode=scan_mode,
+                                    scan_impl=selective_scan_auto)
     return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
                                 scan_mode=scan_mode, scan_impl=scan_impl)
 
@@ -336,6 +346,16 @@ def ss2d_core(x, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
     R = dt_projs_weight.shape[-1]
     N = d_state
     D = x.shape[-1]
+    if backend == "auto":
+        backend = ("pallas" if (scan_mode == "cross2d"
+                                and jax.default_backend() != "cpu")
+                   else "xla")
+    if backend == "pallas" and N == 1 and scan_mode == "cross2d":
+        # fused-projection fast path: dt rank->D expansion happens on the
+        # MXU inside the kernel; no (B, H, W, 4, D) intermediates
+        from xfmamba_tpu.ops.selective_scan_pallas import ss2d_core_pallas_n1
+        return ss2d_core_pallas_n1(x, x_proj_weight, dt_projs_weight,
+                                   dt_projs_bias, A_logs, Ds)
     dts, Bs, Cs = _project_kdirs(x, x_proj_weight, dt_projs_weight, R, N)
     A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, D, N)
     Dmat = Ds.astype(jnp.float32).reshape(K, D) if Ds is not None else None

@@ -290,6 +290,371 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
     return yf, yr
 
 
+# =====================================================================
+# N=1 fused path with in-kernel dt projection
+# =====================================================================
+
+def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
+                     u_f_ref, u_r_ref, xd_f_ref, xd_r_ref,
+                     dtw_ref, A_ref, Dsk_ref, bias_ref,
+                     yf_ref, yr_ref,
+                     carry_f, carry_r):
+    """d_state==1 kernel with the dt rank->D expansion fused in (MXU):
+    instead of reading a precomputed (B, 4, L, D) dts tensor from HBM, each
+    step reads the small x_dbl chunk (chunk, R+2N) and computes
+    dt = x_r @ dt_w[k] in-kernel — the (B, 4, L, D) intermediate (the
+    largest tensor in the reference dataflow, `vmamba.py:605-608`) never
+    exists."""
+    p = pl.program_id(1)
+    c = pl.program_id(2)
+    rc = n_chunks - 1 - c
+
+    @pl.when(c == 0)
+    def _():
+        carry_f[...] = jnp.zeros_like(carry_f)
+        carry_r[...] = jnp.zeros_like(carry_r)
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def one(u_ref, xd_ref, k, base, carry, reverse, y_ref):
+        u = u_ref[0, 0].astype(jnp.float32)               # (chunk, D)
+        xd = xd_ref[0, 0]                                  # (chunk, R+2)
+        dtw = dtw_ref[pl.ds(k, 1)][0]                      # (R, D)
+        dt = jnp.dot(xd[:, :R], dtw,
+                     preferred_element_type=jnp.float32)   # (chunk, D)
+        bias = bias_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        dt = jax.nn.softplus(dt + bias)
+        a_row = A_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        dsk = Dsk_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        Bn = xd[:, R:R + 1].astype(jnp.float32)            # (chunk, 1)
+        Cn = xd[:, R + 1:R + 2].astype(jnp.float32)
+        valid = (base + row1) < L
+
+        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        b = jnp.where(valid, dt * u * Bn, 0.0)
+        a, b = _hillis_steele(a, b, chunk, reverse)
+        h = b + a * carry[...]
+        if reverse:
+            carry[...] = h[0:1, :]
+        else:
+            carry[...] = h[chunk - 1:chunk, :]
+        y_ref[0, 0] = (Cn * h + u * dsk).astype(out_dtype)
+
+    one(u_f_ref, xd_f_ref, p, c * chunk, carry_f, False, yf_ref)
+    one(u_r_ref, xd_r_ref, p + 2, rc * chunk, carry_r, True, yr_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def fused_cross_scan_proj(u2, xdbl4, dt_w, A, Dsk, bias, interpret=False,
+                          chunk=None):
+    """N=1 fused scan with in-kernel dt projection.
+
+    u2    (B, 2, L, D)  row-major / col-major x
+    xdbl4 (B, 4, L, R+2) per-direction [dt-rank | B | C] projections
+                         (k=1,3 in column-major order)
+    dt_w  (4, R, D); A (4, D) (negative); Dsk/bias (4, D)
+    Returns yf, yr (B, 2, L, D) in u2.dtype.
+    """
+    B, _, L, D = u2.shape
+    R = dt_w.shape[1]
+    chunk = chunk or _pick_chunk(L, D, 1)
+    n_chunks = pl.cdiv(L, chunk)
+    Rc = xdbl4.shape[-1]
+
+    A = A.astype(jnp.float32)
+    Dsk = Dsk.astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+    dt_w = dt_w.astype(u2.dtype)
+
+    grid = (B, 2, n_chunks)
+
+    def im_fwd(b, p, c):
+        return (b, p, c, 0)
+
+    def im_rev(b, p, c):
+        return (b, p, n_chunks - 1 - c, 0)
+
+    def im_xd_fwd(b, p, c):
+        return (b, p, c, 0)
+
+    def im_xd_rev(b, p, c):
+        return (b, p + 2, n_chunks - 1 - c, 0)
+
+    blk_u = pl.BlockSpec((1, 1, chunk, D), im_fwd, memory_space=pltpu.VMEM)
+    blk_u_r = pl.BlockSpec((1, 1, chunk, D), im_rev, memory_space=pltpu.VMEM)
+    blk_xd_f = pl.BlockSpec((1, 1, chunk, Rc), im_xd_fwd,
+                            memory_space=pltpu.VMEM)
+    blk_xd_r = pl.BlockSpec((1, 1, chunk, Rc), im_xd_rev,
+                            memory_space=pltpu.VMEM)
+    blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_dtype = u2.dtype
+    kernel = functools.partial(_scan_kernel_n1p, L, R, chunk, n_chunks,
+                               out_dtype)
+    yf, yr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk_u, blk_u_r, blk_xd_f, blk_xd_r,
+                  blk_full, blk_full, blk_full, blk_full],
+        out_specs=[
+            pl.BlockSpec((1, 1, chunk, D), im_fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, D), im_rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
+            jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, D), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u2, u2, xdbl4, xdbl4, dt_w, A, Dsk, bias)
+    return yf, yr
+
+
+def _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                          A_logs, Ds, interpret=False, chunk=None):
+    """Full SS2D cross2d core for d_state==1: projections in kernel layout
+    (no (B, H, W, 4, ·) intermediates), fused kernel, f32 merge.
+    Semantics identical to `ss2d_core(..., backend='xla')` with N=1."""
+    B, H, W, D = x.shape
+    L = H * W
+    R = dt_projs_weight.shape[-1]
+
+    xr = x.reshape(B, L, D)
+    xt = jnp.swapaxes(x, 1, 2).reshape(B, L, D)
+    u2 = jnp.stack([xr, xt], axis=1)                     # (B, 2, L, D)
+
+    Wc = x_proj_weight.astype(x.dtype)                   # (4, R+2, D)
+    xdbl_row = jnp.einsum("bld,kcd->bklc", xr, Wc[jnp.array([0, 2])])
+    xdbl_col = jnp.einsum("bld,kcd->bklc", xt, Wc[jnp.array([1, 3])])
+    # slots [k0, k1(col), k2, k3(col)]
+    xdbl4 = jnp.stack([xdbl_row[:, 0], xdbl_col[:, 0],
+                       xdbl_row[:, 1], xdbl_col[:, 1]], axis=1)
+
+    A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(4, D)
+    Dsk = Ds.astype(jnp.float32).reshape(4, D)
+    bias = dt_projs_bias.astype(jnp.float32).reshape(4, D)
+
+    dt_w = jnp.swapaxes(dt_projs_weight, 1, 2)           # (4, R, D)
+    yf, yr = fused_cross_scan_proj(u2, xdbl4, dt_w, A, Dsk, bias,
+                                   interpret=interpret, chunk=chunk)
+    y_row = yf[:, 0].astype(jnp.float32) + yr[:, 0].astype(jnp.float32)
+    y_col = (yf[:, 1].astype(jnp.float32) + yr[:, 1].astype(jnp.float32)
+             ).reshape(B, W, H, D)
+    y_col = jnp.swapaxes(y_col, 1, 2).reshape(B, L, D)
+    return (y_row + y_col).reshape(B, H, W, D)
+
+
+@jax.custom_vjp
+def ss2d_core_pallas_n1(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                        A_logs, Ds):
+    """Fused-projection d_state==1 SS2D core; XLA-autodiff backward."""
+    return _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight,
+                                 dt_projs_bias, A_logs, Ds)
+
+
+def _n1_fwd(x, xw, dw, bias, A_logs, Ds):
+    return _core_fused_proj_impl(x, xw, dw, bias, A_logs, Ds), \
+        (x, xw, dw, bias, A_logs, Ds)
+
+
+def _n1_bwd(res, g):
+    from xfmamba_tpu.models.ss2d import ss2d_core
+    x, xw, dw, bias, A_logs, Ds = res
+    _, vjp = jax.vjp(
+        lambda *args: ss2d_core(*args, d_state=1, scan_mode="cross2d",
+                                backend="xla"),
+        x, xw, dw, bias, A_logs, Ds)
+    return vjp(g.astype(jnp.float32))
+
+
+ss2d_core_pallas_n1.defvjp(_n1_fwd, _n1_bwd)
+
+
+# =====================================================================
+# grouped selective scan: arbitrary (K, N), one direction
+# =====================================================================
+
+def _grouped_scan_kernel(L, chunk, n_chunks, N, out_dtype, reverse,
+                         u_ref, dt_ref, B_ref, C_ref,
+                         A_ref, Dsk_ref, bias_ref,
+                         y_ref, carry, dt_s, acc):
+    """One direction of the selective scan for K channel groups and N state
+    dims.  Grid (B, K, n_chunks, N) — N innermost so the per-chunk output
+    accumulates across state dims in the VMEM scratch `acc`; the carry
+    scratch holds one (1, C) state row per n.  dt (softplus+bias) is
+    computed once per chunk (at n==0) into `dt_s`.
+    """
+    k = pl.program_id(1)
+    c = pl.program_id(2)
+    n = pl.program_id(3)
+    base = (n_chunks - 1 - c) * chunk if reverse else c * chunk
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    valid = (base + row1) < L
+
+    @pl.when(n == 0)
+    def _():
+        dt = dt_ref[0, 0].astype(jnp.float32)
+        b_k = bias_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        dt_s[...] = jax.nn.softplus(dt + b_k)
+        dsk = Dsk_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        acc[...] = u_ref[0, 0].astype(jnp.float32) * dsk
+
+    @pl.when(c == 0)
+    def _():
+        carry[pl.ds(n, 1), :] = jnp.zeros_like(carry[pl.ds(n, 1), :])
+
+    u = u_ref[0, 0].astype(jnp.float32)                  # (chunk, C)
+    dt = dt_s[...]
+    a_n = A_ref[pl.ds(k, 1), pl.ds(n, 1), :].astype(
+        jnp.float32).reshape(1, -1)                      # (1, C)
+
+    Bfull = B_ref[0, 0].astype(jnp.float32)              # (chunk, N)
+    Cfull = C_ref[0, 0].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, Bfull.shape, 1)
+    Bn = jnp.sum(jnp.where(lane == n, Bfull, 0.0), axis=1, keepdims=True)
+    Cn = jnp.sum(jnp.where(lane == n, Cfull, 0.0), axis=1, keepdims=True)
+
+    a = jnp.where(valid, jnp.exp(dt * a_n), 1.0)
+    b = jnp.where(valid, dt * u * Bn, 0.0)
+    a, b = _hillis_steele(a, b, chunk, reverse)
+    h = b + a * carry[pl.ds(n, 1), :]
+    if reverse:
+        carry[pl.ds(n, 1), :] = h[0:1, :]
+    else:
+        carry[pl.ds(n, 1), :] = h[chunk - 1:chunk, :]
+    acc[...] = acc[...] + Cn * h
+
+    @pl.when(n == N - 1)
+    def _():
+        y_ref[0, 0] = acc[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("delta_softplus", "reverse",
+                                    "interpret", "chunk"))
+def grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
+                            delta_softplus=True, reverse=False,
+                            interpret=False, chunk=None):
+    """Pallas selective scan, `ops.selective_scan` semantics/layout:
+    u/delta (B, L, K*C); A (K*C, N); Bmat/Cmat (B, L, K, N); Dvec (K*C,);
+    delta_bias (K*C,).  Returns y (B, L, K*C) in u.dtype.
+
+    This is the general-(K, N) TPU kernel used by ShallowFuse (K=2 swap
+    scan, `fusion_vmamba.py:831-833`) and the per-direction N>1 cross2d
+    composition (Cross_SS2Dv5, d_state=16)."""
+    assert delta_softplus, "kernel fuses softplus (reference always sets it)"
+    Bsz, L, KC = u.shape
+    K = Bmat.shape[2]
+    N = A.shape[-1]
+    C = KC // K
+
+    # group-major channel layout -> (B, K, L, C) blocks
+    u4 = jnp.swapaxes(u.reshape(Bsz, L, K, C), 1, 2)
+    dt4 = jnp.swapaxes(delta.reshape(Bsz, L, K, C), 1, 2)
+    B4 = jnp.swapaxes(Bmat, 1, 2)                    # (B, K, L, N)
+    C4 = jnp.swapaxes(Cmat, 1, 2)
+    A_k = jnp.swapaxes(A.astype(jnp.float32).reshape(K, C, N), 1, 2)
+    Dsk = (Dvec if Dvec is not None else jnp.zeros((KC,))) \
+        .astype(jnp.float32).reshape(K, C)
+    bias = (delta_bias if delta_bias is not None else jnp.zeros((KC,))) \
+        .astype(jnp.float32).reshape(K, C)
+
+    if chunk is None:
+        # this kernel keeps ~10 live f32 (chunk, C) arrays regardless of N
+        c_pad = max(128, ((C + 127) // 128) * 128)
+        chunk = (6 * 1024 * 1024) // (c_pad * 4 * 10)
+        chunk = max(128, 1 << int(math.floor(math.log2(max(chunk, 128)))))
+        chunk = min(chunk, 256)
+        if L <= chunk:
+            chunk = ((L + 7) // 8) * 8
+    n_chunks = pl.cdiv(L, chunk)
+    grid = (Bsz, K, n_chunks, N)
+
+    def im_data(b, k, c, n):
+        cc = n_chunks - 1 - c if reverse else c
+        return (b, k, cc, 0)
+
+    blk_u = pl.BlockSpec((1, 1, chunk, C), im_data, memory_space=pltpu.VMEM)
+    blk_bn = pl.BlockSpec((1, 1, chunk, N), im_data, memory_space=pltpu.VMEM)
+    blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_grouped_scan_kernel, L, chunk, n_chunks, N,
+                               u.dtype, reverse)
+    y4 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk_u, blk_u, blk_bn, blk_bn,
+                  blk_full, blk_full, blk_full],
+        out_specs=pl.BlockSpec((1, 1, chunk, C), im_data,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bsz, K, L, C), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, C), jnp.float32),
+            pltpu.VMEM((chunk, C), jnp.float32),
+            pltpu.VMEM((chunk, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u4, dt4, B4, C4, A_k, Dsk, bias)
+    return jnp.swapaxes(y4, 1, 2).reshape(Bsz, L, KC)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def selective_scan_grouped_pallas(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
+                                  delta_softplus=True, reverse=False):
+    """`ops.selective_scan`-compatible Pallas path (fp32 state, output in
+    u.dtype); backward runs the XLA associative-scan VJP."""
+    return grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec,
+                                   delta_bias, delta_softplus=delta_softplus,
+                                   reverse=reverse)
+
+
+def _grouped_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
+                 delta_softplus, reverse):
+    y = grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
+                                delta_softplus=delta_softplus,
+                                reverse=reverse)
+    return y, (u, delta, A, Bmat, Cmat, Dvec, delta_bias)
+
+
+def _grouped_bwd(delta_softplus, reverse, res, g):
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    u, delta, A, Bmat, Cmat, Dvec, delta_bias = res
+    diff = (u, delta, A, Bmat, Cmat, Dvec, delta_bias)
+    nones = [x is None for x in diff]
+    diff = tuple(x for x in diff if x is not None)
+
+    def f(*args):
+        it = iter(args)
+        full = [None if nn else next(it) for nn in nones]
+        return selective_scan(full[0], full[1], full[2], full[3], full[4],
+                              full[5], full[6],
+                              delta_softplus=delta_softplus, reverse=reverse)
+
+    _, vjp = jax.vjp(f, *diff)
+    grads = iter(vjp(g.astype(jnp.float32)))
+    return tuple(None if nn else next(grads) for nn in nones)
+
+
+selective_scan_grouped_pallas.defvjp(_grouped_fwd, _grouped_bwd)
+
+
+def selective_scan_auto(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
+                        delta_softplus=True, reverse=False, unroll=1):
+    """Drop-in for `ops.selective_scan`: Pallas kernel on TPU, XLA
+    associative scan elsewhere."""
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    if jax.default_backend() == "cpu":
+        return selective_scan(u, delta, A, Bmat, Cmat, D, delta_bias,
+                              delta_softplus=delta_softplus, reverse=reverse)
+    y = selective_scan_grouped_pallas(u, delta, A, Bmat, Cmat, D,
+                                      delta_bias, delta_softplus, reverse)
+    return y.astype(jnp.float32)
+
+
 def _core_pallas_fwd_impl(x, dts, Bs, Cs, A, Dmat, bias, interpret=False,
                           chunk=None):
     """cross2d SS2D core via the fused kernel.
