@@ -146,15 +146,13 @@ def _pick_chunk(L: int, D: int, N: int) -> int:
     budget = 6 * 1024 * 1024
     # the N==1 fast kernel keeps fewer live f32 arrays per step
     n_bufs = 8 if N == 1 else 10 + 2 * N
-    chunk = budget // (d_pad * 4 * n_bufs)
-    chunk = max(128, 1 << int(math.floor(math.log2(max(chunk, 128)))))
+    max_chunk = budget // (d_pad * 4 * n_bufs)
     # Hillis-Steele VPU work grows as chunk*log2(chunk): beyond 256 the
     # extra log stages cost more than the saved per-step overhead (measured)
-    chunk = min(chunk, 256)
-    if L <= chunk:
-        # round L up to a sublane multiple
-        return ((L + 7) // 8) * 8
-    return chunk
+    max_chunk = max(64, min(256, (max_chunk // 8) * 8))
+    # balance: equal-size chunks rounded to sublanes, minimizing tail padding
+    n_chunks = -(-L // max_chunk)
+    return ((-(-L // n_chunks) + 7) // 8) * 8
 
 
 def _scan_kernel_n1(L, chunk, n_chunks, out_dtype,
@@ -296,18 +294,23 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
 
 def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
                      u_f_ref, u_r_ref, xd_f_ref, xd_r_ref,
-                     dtw_ref, A_ref, Dsk_ref, bias_ref,
+                     dtw_f_ref, dtw_r_ref, A_ref, Dsk_ref, bias_ref,
                      yf_ref, yr_ref,
                      carry_f, carry_r):
-    """d_state==1 kernel with the dt rank->D expansion fused in (MXU):
-    instead of reading a precomputed (B, 4, L, D) dts tensor from HBM, each
-    step reads the small x_dbl chunk (chunk, R+2N) and computes
-    dt = x_r @ dt_w[k] in-kernel — the (B, 4, L, D) intermediate (the
-    largest tensor in the reference dataflow, `vmamba.py:605-608`) never
-    exists."""
-    p = pl.program_id(1)
-    c = pl.program_id(2)
+    """d_state==1 kernel, both direction pairs packed along lanes.
+
+    Each grid step processes the forward chunk of BOTH pairs (row- and
+    column-major, lanes [0:D] / [D:2D]) and the reverse chunk of both — four
+    directions per step.  The dt rank->D expansion is fused in (one MXU
+    matmul against a (2R, 2D) block-diagonal weight): the (B, 4, L, D) dts
+    intermediate (the largest tensor in the reference dataflow,
+    `vmamba.py:605-608`) never exists.  Lane packing also removes the
+    128-lane padding waste at D=192 (stage 0) and halves the grid.
+    """
+    c = pl.program_id(1)
     rc = n_chunks - 1 - c
+    D2 = u_f_ref.shape[-1]
+    D = D2 // 2
 
     @pl.when(c == 0)
     def _():
@@ -316,18 +319,22 @@ def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
 
     row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    def one(u_ref, xd_ref, k, base, carry, reverse, y_ref):
-        u = u_ref[0, 0].astype(jnp.float32)               # (chunk, D)
-        xd = xd_ref[0, 0]                                  # (chunk, R+2)
-        dtw = dtw_ref[pl.ds(k, 1)][0]                      # (R, D)
-        dt = jnp.dot(xd[:, :R], dtw,
-                     preferred_element_type=jnp.float32)   # (chunk, D)
-        bias = bias_ref[pl.ds(k, 1), :].astype(jnp.float32)
+    def one(u_ref, xd_ref, dtw_ref, j, base, carry, reverse, y_ref):
+        u = u_ref[0].astype(jnp.float32)                   # (chunk, 2D)
+        xd = xd_ref[0]                                     # (chunk, 2R+4)
+        dt = jnp.dot(xd[:, :2 * R], dtw_ref[...],
+                     preferred_element_type=jnp.float32)   # (chunk, 2D)
+        bias = bias_ref[pl.ds(j, 1), :].astype(jnp.float32)
         dt = jax.nn.softplus(dt + bias)
-        a_row = A_ref[pl.ds(k, 1), :].astype(jnp.float32)
-        dsk = Dsk_ref[pl.ds(k, 1), :].astype(jnp.float32)
-        Bn = xd[:, R:R + 1].astype(jnp.float32)            # (chunk, 1)
-        Cn = xd[:, R + 1:R + 2].astype(jnp.float32)
+        a_row = A_ref[pl.ds(j, 1), :].astype(jnp.float32)  # (1, 2D)
+        dsk = Dsk_ref[pl.ds(j, 1), :].astype(jnp.float32)
+        bc = xd[:, 2 * R:].astype(jnp.float32)             # (chunk, 4)
+        Bn = jnp.concatenate(
+            [jnp.broadcast_to(bc[:, 0:1], (chunk, D)),
+             jnp.broadcast_to(bc[:, 2:3], (chunk, D))], axis=1)
+        Cn = jnp.concatenate(
+            [jnp.broadcast_to(bc[:, 1:2], (chunk, D)),
+             jnp.broadcast_to(bc[:, 3:4], (chunk, D))], axis=1)
         valid = (base + row1) < L
 
         a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
@@ -338,54 +345,49 @@ def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
             carry[...] = h[0:1, :]
         else:
             carry[...] = h[chunk - 1:chunk, :]
-        y_ref[0, 0] = (Cn * h + u * dsk).astype(out_dtype)
+        y_ref[0] = (Cn * h + u * dsk).astype(out_dtype)
 
-    one(u_f_ref, xd_f_ref, p, c * chunk, carry_f, False, yf_ref)
-    one(u_r_ref, xd_r_ref, p + 2, rc * chunk, carry_r, True, yr_ref)
+    one(u_f_ref, xd_f_ref, dtw_f_ref, 0, c * chunk, carry_f, False, yf_ref)
+    one(u_r_ref, xd_r_ref, dtw_r_ref, 1, rc * chunk, carry_r, True, yr_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
-def fused_cross_scan_proj(u2, xdbl4, dt_w, A, Dsk, bias, interpret=False,
-                          chunk=None):
-    """N=1 fused scan with in-kernel dt projection.
+def fused_cross_scan_proj(u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2,
+                          interpret=False, chunk=None):
+    """N=1 fused scan, pair-packed lanes, in-kernel dt projection.
 
-    u2    (B, 2, L, D)  row-major / col-major x
-    xdbl4 (B, 4, L, R+2) per-direction [dt-rank | B | C] projections
-                         (k=1,3 in column-major order)
-    dt_w  (4, R, D); A (4, D) (negative); Dsk/bias (4, D)
-    Returns yf, yr (B, 2, L, D) in u2.dtype.
+    u2     (B, L, 2D)      [row-major x | col-major x] lanes
+    xd_f   (B, L, 2R+4)    [rank_k0 | rank_k1 | B0 C0 B1 C1]
+    xd_r   (B, L, 2R+4)    same for the reversed directions k2, k3
+    dtw_f  (2R, 2D)        block-diagonal [dt_w0; dt_w1]
+    dtw_r  (2R, 2D)        block-diagonal [dt_w2; dt_w3]
+    A2/Dsk2/bias2 (2, 2D)  rows: fwd [k0|k1], rev [k2|k3]
+    Returns yf, yr (B, L, 2D) in u2.dtype.
     """
-    B, _, L, D = u2.shape
-    R = dt_w.shape[1]
-    chunk = chunk or _pick_chunk(L, D, 1)
+    B, L, D2 = u2.shape
+    R = dtw_f.shape[0] // 2
+    chunk = chunk or _pick_chunk(L, D2, 1)
     n_chunks = pl.cdiv(L, chunk)
-    Rc = xdbl4.shape[-1]
+    Rc = xd_f.shape[-1]
 
-    A = A.astype(jnp.float32)
-    Dsk = Dsk.astype(jnp.float32)
-    bias = bias.astype(jnp.float32)
-    dt_w = dt_w.astype(u2.dtype)
+    A2 = A2.astype(jnp.float32)
+    Dsk2 = Dsk2.astype(jnp.float32)
+    bias2 = bias2.astype(jnp.float32)
+    dtw_f = dtw_f.astype(u2.dtype)
+    dtw_r = dtw_r.astype(u2.dtype)
 
-    grid = (B, 2, n_chunks)
+    grid = (B, n_chunks)
 
-    def im_fwd(b, p, c):
-        return (b, p, c, 0)
+    def im_fwd(b, c):
+        return (b, c, 0)
 
-    def im_rev(b, p, c):
-        return (b, p, n_chunks - 1 - c, 0)
+    def im_rev(b, c):
+        return (b, n_chunks - 1 - c, 0)
 
-    def im_xd_fwd(b, p, c):
-        return (b, p, c, 0)
-
-    def im_xd_rev(b, p, c):
-        return (b, p + 2, n_chunks - 1 - c, 0)
-
-    blk_u = pl.BlockSpec((1, 1, chunk, D), im_fwd, memory_space=pltpu.VMEM)
-    blk_u_r = pl.BlockSpec((1, 1, chunk, D), im_rev, memory_space=pltpu.VMEM)
-    blk_xd_f = pl.BlockSpec((1, 1, chunk, Rc), im_xd_fwd,
-                            memory_space=pltpu.VMEM)
-    blk_xd_r = pl.BlockSpec((1, 1, chunk, Rc), im_xd_rev,
-                            memory_space=pltpu.VMEM)
+    blk_u = pl.BlockSpec((1, chunk, D2), im_fwd, memory_space=pltpu.VMEM)
+    blk_u_r = pl.BlockSpec((1, chunk, D2), im_rev, memory_space=pltpu.VMEM)
+    blk_xd_f = pl.BlockSpec((1, chunk, Rc), im_fwd, memory_space=pltpu.VMEM)
+    blk_xd_r = pl.BlockSpec((1, chunk, Rc), im_rev, memory_space=pltpu.VMEM)
     blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out_dtype = u2.dtype
@@ -395,21 +397,21 @@ def fused_cross_scan_proj(u2, xdbl4, dt_w, A, Dsk, bias, interpret=False,
         kernel,
         grid=grid,
         in_specs=[blk_u, blk_u_r, blk_xd_f, blk_xd_r,
-                  blk_full, blk_full, blk_full, blk_full],
+                  blk_full, blk_full, blk_full, blk_full, blk_full],
         out_specs=[
-            pl.BlockSpec((1, 1, chunk, D), im_fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, D), im_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, D2), im_fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, D2), im_rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
-            jax.ShapeDtypeStruct((B, 2, L, D), out_dtype),
+            jax.ShapeDtypeStruct((B, L, D2), out_dtype),
+            jax.ShapeDtypeStruct((B, L, D2), out_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, D), jnp.float32),
-            pltpu.VMEM((1, D), jnp.float32),
+            pltpu.VMEM((1, D2), jnp.float32),
+            pltpu.VMEM((1, D2), jnp.float32),
         ],
         interpret=interpret,
-    )(u2, u2, xdbl4, xdbl4, dt_w, A, Dsk, bias)
+    )(u2, u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2)
     return yf, yr
 
 
@@ -424,25 +426,43 @@ def _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
 
     xr = x.reshape(B, L, D)
     xt = jnp.swapaxes(x, 1, 2).reshape(B, L, D)
-    u2 = jnp.stack([xr, xt], axis=1)                     # (B, 2, L, D)
+    u2 = jnp.concatenate([xr, xt], axis=-1)              # (B, L, 2D)
 
     Wc = x_proj_weight.astype(x.dtype)                   # (4, R+2, D)
     xdbl_row = jnp.einsum("bld,kcd->bklc", xr, Wc[jnp.array([0, 2])])
     xdbl_col = jnp.einsum("bld,kcd->bklc", xt, Wc[jnp.array([1, 3])])
-    # slots [k0, k1(col), k2, k3(col)]
-    xdbl4 = jnp.stack([xdbl_row[:, 0], xdbl_col[:, 0],
-                       xdbl_row[:, 1], xdbl_col[:, 1]], axis=1)
+
+    def pack(a, b):   # -> [rank_a | rank_b | B_a C_a | B_b C_b]
+        return jnp.concatenate([a[..., :R], b[..., :R],
+                                a[..., R:], b[..., R:]], axis=-1)
+
+    xd_f = pack(xdbl_row[:, 0], xdbl_col[:, 0])          # k0, k1
+    xd_r = pack(xdbl_row[:, 1], xdbl_col[:, 1])          # k2, k3
 
     A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(4, D)
     Dsk = Ds.astype(jnp.float32).reshape(4, D)
     bias = dt_projs_bias.astype(jnp.float32).reshape(4, D)
 
-    dt_w = jnp.swapaxes(dt_projs_weight, 1, 2)           # (4, R, D)
-    yf, yr = fused_cross_scan_proj(u2, xdbl4, dt_w, A, Dsk, bias,
-                                   interpret=interpret, chunk=chunk)
-    y_row = yf[:, 0].astype(jnp.float32) + yr[:, 0].astype(jnp.float32)
-    y_col = (yf[:, 1].astype(jnp.float32) + yr[:, 1].astype(jnp.float32)
-             ).reshape(B, W, H, D)
+    def pack2(t):     # (4, D) -> (2, 2D): rows [k0|k1], [k2|k3]
+        return jnp.stack([jnp.concatenate([t[0], t[1]]),
+                          jnp.concatenate([t[2], t[3]])])
+
+    dtw = jnp.swapaxes(dt_projs_weight, 1, 2)            # (4, R, D)
+    zero = jnp.zeros((R, D), dtw.dtype)
+
+    def blockdiag(w_a, w_b):
+        return jnp.concatenate(
+            [jnp.concatenate([w_a, zero], axis=1),
+             jnp.concatenate([zero, w_b], axis=1)], axis=0)   # (2R, 2D)
+
+    yf, yr = fused_cross_scan_proj(
+        u2, xd_f, xd_r, blockdiag(dtw[0], dtw[1]),
+        blockdiag(dtw[2], dtw[3]), pack2(A), pack2(Dsk), pack2(bias),
+        interpret=interpret, chunk=chunk)
+    y_row = (yf[..., :D].astype(jnp.float32)
+             + yr[..., :D].astype(jnp.float32))
+    y_col = (yf[..., D:].astype(jnp.float32)
+             + yr[..., D:].astype(jnp.float32)).reshape(B, W, H, D)
     y_col = jnp.swapaxes(y_col, 1, 2).reshape(B, L, D)
     return (y_row + y_col).reshape(B, H, W, D)
 
