@@ -111,3 +111,38 @@ def test_fused_proj_n1_matches_xla_core():
                                  interpret=True, chunk=32)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,W,chunk", [(10, 9, None), (12, 8, 32)])
+def test_fused_proj_n1_backward_matches_autodiff(H, W, chunk):
+    """The dedicated Pallas backward kernel vs XLA autodiff of the same
+    core (the oracle role of `test_selective_scan.py`'s gradient checks)."""
+    from xfmamba_tpu.models.ss2d import ss2d_core
+    from xfmamba_tpu.ops.selective_scan_pallas import (
+        _core_fused_proj_bwd_impl, _core_fused_proj_parts)
+
+    rng = np.random.default_rng(11)
+    B, D, R = 2, 16, 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    xw = jnp.asarray(rng.standard_normal((4, R + 2, D)) * 0.1, jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((4, D, R)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((4, D)) * 0.1, jnp.float32)
+    A_logs = jnp.asarray(rng.standard_normal((4 * D, 1)) * 0.2, jnp.float32)
+    Ds = jnp.asarray(rng.standard_normal((4 * D,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda *a: ss2d_core(*a, d_state=1, backend="xla"),
+        x, xw, dw, bias, A_logs, Ds)
+    want = vjp(g)
+
+    _, (xd_f, xd_r, cf, cr) = _core_fused_proj_parts(
+        x, xw, dw, bias, A_logs, Ds, interpret=True, chunk=chunk)
+    got = _core_fused_proj_bwd_impl(x, xw, dw, bias, A_logs, Ds,
+                                    xd_f, xd_r, cf, cr, g,
+                                    interpret=True, chunk=chunk)
+    names = ["dx", "d_x_proj_w", "d_dt_w", "d_bias", "d_A_logs", "d_Ds"]
+    for name, w_arr, g_arr in zip(names, want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_arr), np.asarray(w_arr), rtol=5e-4, atol=5e-4,
+            err_msg=name)

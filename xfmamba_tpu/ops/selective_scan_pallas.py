@@ -295,7 +295,7 @@ def fused_cross_scan(u2, dts, Bs, Cs, A, Dsk, bias, interpret=False,
 def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
                      u_f_ref, u_r_ref, xd_f_ref, xd_r_ref,
                      dtw_f_ref, dtw_r_ref, A_ref, Dsk_ref, bias_ref,
-                     yf_ref, yr_ref,
+                     yf_ref, yr_ref, cf_ref, cr_ref,
                      carry_f, carry_r):
     """d_state==1 kernel, both direction pairs packed along lanes.
 
@@ -319,7 +319,12 @@ def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
 
     row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    def one(u_ref, xd_ref, dtw_ref, j, base, carry, reverse, y_ref):
+    def one(u_ref, xd_ref, dtw_ref, j, base, carry, reverse, y_ref,
+            carr_ref):
+        # checkpoint the incoming state (the CUDA kernel's x_ptr,
+        # `fwd_kernel.cuh:183`) for the backward kernel's h-recompute
+        # (row 0 of an 8-sublane-padded slot — Mosaic block minimum)
+        carr_ref[0, 0, 0:1, :] = carry[...]
         u = u_ref[0].astype(jnp.float32)                   # (chunk, 2D)
         xd = xd_ref[0]                                     # (chunk, 2R+4)
         dt = jnp.dot(xd[:, :2 * R], dtw_ref[...],
@@ -347,8 +352,10 @@ def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
             carry[...] = h[chunk - 1:chunk, :]
         y_ref[0] = (Cn * h + u * dsk).astype(out_dtype)
 
-    one(u_f_ref, xd_f_ref, dtw_f_ref, 0, c * chunk, carry_f, False, yf_ref)
-    one(u_r_ref, xd_r_ref, dtw_r_ref, 1, rc * chunk, carry_r, True, yr_ref)
+    one(u_f_ref, xd_f_ref, dtw_f_ref, 0, c * chunk, carry_f, False, yf_ref,
+        cf_ref)
+    one(u_r_ref, xd_r_ref, dtw_r_ref, 1, rc * chunk, carry_r, True, yr_ref,
+        cr_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
@@ -362,7 +369,9 @@ def fused_cross_scan_proj(u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2,
     dtw_f  (2R, 2D)        block-diagonal [dt_w0; dt_w1]
     dtw_r  (2R, 2D)        block-diagonal [dt_w2; dt_w3]
     A2/Dsk2/bias2 (2, 2D)  rows: fwd [k0|k1], rev [k2|k3]
-    Returns yf, yr (B, L, 2D) in u2.dtype.
+    Returns yf, yr (B, L, 2D) in u2.dtype, plus the per-chunk incoming
+    state checkpoints cf, cr (B, n_chunks, 2D) f32 consumed by the
+    backward kernel (indexed by data-chunk position).
     """
     B, L, D2 = u2.shape
     R = dtw_f.shape[0] // 2
@@ -390,10 +399,16 @@ def fused_cross_scan_proj(u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2,
     blk_xd_r = pl.BlockSpec((1, chunk, Rc), im_rev, memory_space=pltpu.VMEM)
     blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    def im_c_fwd(b, c):
+        return (b, c, 0, 0)
+
+    def im_c_rev(b, c):
+        return (b, n_chunks - 1 - c, 0, 0)
+
     out_dtype = u2.dtype
     kernel = functools.partial(_scan_kernel_n1p, L, R, chunk, n_chunks,
                                out_dtype)
-    yf, yr = pl.pallas_call(
+    yf, yr, cf, cr = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk_u, blk_u_r, blk_xd_f, blk_xd_r,
@@ -401,10 +416,14 @@ def fused_cross_scan_proj(u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2,
         out_specs=[
             pl.BlockSpec((1, chunk, D2), im_fwd, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, D2), im_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, D2), im_c_fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, D2), im_c_rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D2), out_dtype),
             jax.ShapeDtypeStruct((B, L, D2), out_dtype),
+            jax.ShapeDtypeStruct((B, n_chunks, 8, D2), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_chunks, 8, D2), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, D2), jnp.float32),
@@ -412,7 +431,224 @@ def fused_cross_scan_proj(u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2,
         ],
         interpret=interpret,
     )(u2, u2, xd_f, xd_r, dtw_f, dtw_r, A2, Dsk2, bias2)
-    return yf, yr
+    return yf, yr, cf, cr
+
+
+def _scan_kernel_n1p_bwd(L, R, chunk, n_chunks,
+                         u_f_ref, u_r_ref, xd_f_ref, xd_r_ref,
+                         dy_f_ref, dy_r_ref, cf_ref, cr_ref,
+                         dtw_f_ref, dtw_r_ref, A_ref, Dsk_ref, bias_ref,
+                         du_f_ref, du_r_ref, dxd_f_ref, dxd_r_ref,
+                         dw_ref, dbias_ref, dA_ref, dDsk_ref,
+                         lam_f, lam_r, aedge_f, aedge_r,
+                         dw_acc, dbias_acc, dA_acc, dDsk_acc):
+    """Backward of `_scan_kernel_n1p`: recomputes h from the chunk-state
+    checkpoints (`cf/cr`), runs the adjoint recurrence
+    λ[t] = C·dy[t] + a[t±1]·λ[t∓1] as a postfix/prefix pair-scan (the TPU
+    counterpart of `selective_scan_bwd_kernel.cuh` + `reverse_scan.cuh`),
+    and emits du, d(x_dbl) per position plus the weight-gradient
+    accumulators (dt_w, bias, A, D) reduced across the whole grid in VMEM.
+
+    Grid (B, n_chunks): step c handles the forward directions' data chunk
+    n_chunks-1-c (adjoint flows right-to-left) and the reverse directions'
+    data chunk c.
+    """
+    b_idx = pl.program_id(0)
+    c = pl.program_id(1)
+    rc = n_chunks - 1 - c
+    D2 = u_f_ref.shape[-1]
+    D = D2 // 2
+    nb = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(b_idx == 0, c == 0))
+    def _():
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+        dbias_acc[...] = jnp.zeros_like(dbias_acc)
+        dA_acc[...] = jnp.zeros_like(dA_acc)
+        dDsk_acc[...] = jnp.zeros_like(dDsk_acc)
+
+    @pl.when(c == 0)
+    def _():
+        lam_f[...] = jnp.zeros_like(lam_f)
+        lam_r[...] = jnp.zeros_like(lam_r)
+        aedge_f[...] = jnp.zeros_like(aedge_f)
+        aedge_r[...] = jnp.zeros_like(aedge_r)
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def one(u_ref, xd_ref, dy_ref, c_ref, dtw_ref, j, base, reverse,
+            lam, aedge, du_ref, dxd_ref):
+        valid = (base + row1) < L
+        # mask padded-tail rows at load: out-of-bounds block reads are
+        # garbage and NaN*0 = NaN would poison the whole-grid contractions
+        u = jnp.where(valid, u_ref[0].astype(jnp.float32), 0.0)
+        xd = jnp.where(valid, xd_ref[0].astype(jnp.float32), 0.0)
+        dyv = jnp.where(valid, dy_ref[0].astype(jnp.float32), 0.0)
+
+        xdr = xd[:, :2 * R]
+        dt_pre = jnp.dot(xdr, dtw_ref[...],
+                         preferred_element_type=jnp.float32)
+        bias = bias_ref[pl.ds(j, 1), :].astype(jnp.float32)
+        dt_pre = dt_pre + bias
+        dt = jax.nn.softplus(dt_pre)
+        a_row = A_ref[pl.ds(j, 1), :].astype(jnp.float32)
+        dsk = Dsk_ref[pl.ds(j, 1), :].astype(jnp.float32)
+        bc = xd[:, 2 * R:].astype(jnp.float32)
+        Bn = jnp.concatenate(
+            [jnp.broadcast_to(bc[:, 0:1], (chunk, D)),
+             jnp.broadcast_to(bc[:, 2:3], (chunk, D))], axis=1)
+        Cn = jnp.concatenate(
+            [jnp.broadcast_to(bc[:, 1:2], (chunk, D)),
+             jnp.broadcast_to(bc[:, 3:4], (chunk, D))], axis=1)
+
+        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        bvec = jnp.where(valid, dt * u * Bn, 0.0)
+
+        # recompute h within the chunk from the checkpointed incoming state
+        carry_in = c_ref[0, 0, 0:1, :]                     # (1, 2D)
+        a_s, b_s = _hillis_steele(a, bvec, chunk, reverse)
+        h = b_s + a_s * carry_in
+        if reverse:       # h[t] = a[t] h[t+1] + b[t]
+            h_prev = jnp.concatenate([h[1:], carry_in], axis=0)
+        else:
+            h_prev = jnp.concatenate([carry_in, h[:-1]], axis=0)
+
+        # adjoint scan: λ[t] = C·dy[t] + a_sh[t]·λ[t∓1]
+        cvec = dyv * Cn
+        if reverse:       # λ flows forward in time
+            a_sh = jnp.concatenate([aedge[...], a[:-1]], axis=0)
+        else:             # λ flows backward in time
+            a_sh = jnp.concatenate([a[1:], aedge[...]], axis=0)
+        ga, gb = _hillis_steele(a_sh, cvec, chunk, not reverse)
+        gh = gb + ga * lam[...]
+        if reverse:
+            lam[...] = gh[chunk - 1:chunk, :]
+            aedge[...] = a[chunk - 1:chunk, :]
+        else:
+            lam[...] = gh[0:1, :]
+            aedge[...] = a[0:1, :]
+
+        # gradients
+        du = dyv * dsk + gh * dt * Bn
+        dexp = gh * h_prev * a                 # d/d(dt·A) of exp
+        ddt = gh * u * Bn + dexp * a_row
+        dpre = ddt * jax.nn.sigmoid(dt_pre)
+        dpre = jnp.where(valid, dpre, 0.0)
+
+        dxdr = jnp.dot(dpre, dtw_ref[...].T,
+                       preferred_element_type=jnp.float32)   # (chunk, 2R)
+        ghdtu = gh * dt * u
+        dyh = dyv * h
+        dB0 = jnp.sum(ghdtu[:, :D], axis=1, keepdims=True)
+        dB1 = jnp.sum(ghdtu[:, D:], axis=1, keepdims=True)
+        dC0 = jnp.sum(dyh[:, :D], axis=1, keepdims=True)
+        dC1 = jnp.sum(dyh[:, D:], axis=1, keepdims=True)
+
+        du_ref[0] = du
+        dxd_ref[0] = jnp.concatenate([dxdr, dB0, dC0, dB1, dC1], axis=1)
+
+        # whole-grid weight-gradient accumulation
+        dw_acc[pl.ds(j, 1)] += jax.lax.dot_general(
+            xdr.astype(jnp.float32), dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[None]
+        dbias_acc[pl.ds(j, 1), :] += jnp.sum(dpre, axis=0, keepdims=True)
+        dA_acc[pl.ds(j, 1), :] += jnp.sum(dexp * dt, axis=0, keepdims=True)
+        dDsk_acc[pl.ds(j, 1), :] += jnp.sum(dyv * u, axis=0, keepdims=True)
+
+    one(u_f_ref, xd_f_ref, dy_f_ref, cf_ref, dtw_f_ref, 0, rc * chunk,
+        False, lam_f, aedge_f, du_f_ref, dxd_f_ref)
+    one(u_r_ref, xd_r_ref, dy_r_ref, cr_ref, dtw_r_ref, 1, c * chunk,
+        True, lam_r, aedge_r, du_r_ref, dxd_r_ref)
+
+    # keep the single-block weight-grad outputs current every step (they
+    # flush once, at the end of the grid)
+    dw_ref[...] = dw_acc[...]
+    dbias_ref[...] = dbias_acc[...]
+    dA_ref[...] = dA_acc[...]
+    dDsk_ref[...] = dDsk_acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def fused_cross_scan_proj_bwd(u2, xd_f, xd_r, dy, cf, cr, dtw_f, dtw_r,
+                              A2, Dsk2, bias2, interpret=False, chunk=None):
+    """Run the backward kernel.  dy (B, L, 2D) is the cotangent of
+    yf + yr (both pairs packed).  Returns (du_f, du_r, dxd_f, dxd_r,
+    dW (2, 2R, 2D), dbias (2, 2D), dA (2, 2D), dDsk (2, 2D)), all f32."""
+    B, L, D2 = u2.shape
+    R = dtw_f.shape[0] // 2
+    chunk = chunk or _pick_chunk(L, D2, 1)
+    n_chunks = pl.cdiv(L, chunk)
+    Rc = xd_f.shape[-1]
+
+    A2 = A2.astype(jnp.float32)
+    Dsk2 = Dsk2.astype(jnp.float32)
+    bias2 = bias2.astype(jnp.float32)
+    dtw_f = dtw_f.astype(jnp.float32)
+    dtw_r = dtw_r.astype(jnp.float32)
+
+    grid = (B, n_chunks)
+
+    def im_fwdd(b, c):     # forward dirs walk data right-to-left
+        return (b, n_chunks - 1 - c, 0)
+
+    def im_revd(b, c):     # reverse dirs walk data left-to-right
+        return (b, c, 0)
+
+    def full(*_):
+        return (0, 0, 0)
+
+    blk_u_f = pl.BlockSpec((1, chunk, D2), im_fwdd, memory_space=pltpu.VMEM)
+    blk_u_r = pl.BlockSpec((1, chunk, D2), im_revd, memory_space=pltpu.VMEM)
+    blk_xd_f = pl.BlockSpec((1, chunk, Rc), im_fwdd, memory_space=pltpu.VMEM)
+    blk_xd_r = pl.BlockSpec((1, chunk, Rc), im_revd, memory_space=pltpu.VMEM)
+    def im_cfwdd(b, c):
+        return (b, n_chunks - 1 - c, 0, 0)
+
+    def im_crevd(b, c):
+        return (b, c, 0, 0)
+
+    blk_c_f = pl.BlockSpec((1, 1, 8, D2), im_cfwdd, memory_space=pltpu.VMEM)
+    blk_c_r = pl.BlockSpec((1, 1, 8, D2), im_crevd, memory_space=pltpu.VMEM)
+    blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_scan_kernel_n1p_bwd, L, R, chunk, n_chunks)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk_u_f, blk_u_r, blk_xd_f, blk_xd_r,
+                  blk_u_f, blk_u_r, blk_c_f, blk_c_r,
+                  blk_full, blk_full, blk_full, blk_full, blk_full],
+        out_specs=[
+            pl.BlockSpec((1, chunk, D2), im_fwdd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, D2), im_revd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, Rc), im_fwdd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, Rc), im_revd, memory_space=pltpu.VMEM),
+            blk_full, blk_full, blk_full, blk_full,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D2), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, D2), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, Rc), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, Rc), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2 * R, D2), jnp.float32),
+            jax.ShapeDtypeStruct((2, D2), jnp.float32),
+            jax.ShapeDtypeStruct((2, D2), jnp.float32),
+            jax.ShapeDtypeStruct((2, D2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, D2), jnp.float32),
+            pltpu.VMEM((1, D2), jnp.float32),
+            pltpu.VMEM((1, D2), jnp.float32),
+            pltpu.VMEM((1, D2), jnp.float32),
+            pltpu.VMEM((2, 2 * R, D2), jnp.float32),
+            pltpu.VMEM((2, D2), jnp.float32),
+            pltpu.VMEM((2, D2), jnp.float32),
+            pltpu.VMEM((2, D2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u2, u2, xd_f, xd_r, dy, dy, cf, cr,
+      dtw_f, dtw_r, A2, Dsk2, bias2)
+    return outs
 
 
 def _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
@@ -420,6 +656,14 @@ def _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
     """Full SS2D cross2d core for d_state==1: projections in kernel layout
     (no (B, H, W, 4, ·) intermediates), fused kernel, f32 merge.
     Semantics identical to `ss2d_core(..., backend='xla')` with N=1."""
+    y, _ = _core_fused_proj_parts(x, x_proj_weight, dt_projs_weight,
+                                  dt_projs_bias, A_logs, Ds,
+                                  interpret=interpret, chunk=chunk)
+    return y
+
+
+def _pack_n1_inputs(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                    A_logs, Ds):
     B, H, W, D = x.shape
     L = H * W
     R = dt_projs_weight.shape[-1]
@@ -455,39 +699,130 @@ def _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
             [jnp.concatenate([w_a, zero], axis=1),
              jnp.concatenate([zero, w_b], axis=1)], axis=0)   # (2R, 2D)
 
-    yf, yr = fused_cross_scan_proj(
-        u2, xd_f, xd_r, blockdiag(dtw[0], dtw[1]),
-        blockdiag(dtw[2], dtw[3]), pack2(A), pack2(Dsk), pack2(bias),
-        interpret=interpret, chunk=chunk)
+    return (u2, xd_f, xd_r, blockdiag(dtw[0], dtw[1]),
+            blockdiag(dtw[2], dtw[3]), pack2(A), pack2(Dsk), pack2(bias))
+
+
+def _core_fused_proj_parts(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                           A_logs, Ds, interpret=False, chunk=None):
+    B, H, W, D = x.shape
+    L = H * W
+    packed = _pack_n1_inputs(x, x_proj_weight, dt_projs_weight,
+                             dt_projs_bias, A_logs, Ds)
+    u2, xd_f, xd_r = packed[:3]
+    yf, yr, cf, cr = fused_cross_scan_proj(*packed, interpret=interpret,
+                                           chunk=chunk)
     y_row = (yf[..., :D].astype(jnp.float32)
              + yr[..., :D].astype(jnp.float32))
     y_col = (yf[..., D:].astype(jnp.float32)
              + yr[..., D:].astype(jnp.float32)).reshape(B, W, H, D)
     y_col = jnp.swapaxes(y_col, 1, 2).reshape(B, L, D)
-    return (y_row + y_col).reshape(B, H, W, D)
+    y = (y_row + y_col).reshape(B, H, W, D)
+    return y, (xd_f, xd_r, cf, cr)
+
+
+def _core_fused_proj_bwd_impl(x, x_proj_weight, dt_projs_weight,
+                              dt_projs_bias, A_logs, Ds,
+                              xd_f, xd_r, cf, cr, g,
+                              interpret=False, chunk=None):
+    """XLA glue around the backward kernel: builds the packed cotangent,
+    runs the kernel, unpacks/chains the outer einsum and reparameterization
+    gradients.  Returns grads for the six primal arguments."""
+    B, H, W, D = x.shape
+    L = H * W
+    R = dt_projs_weight.shape[-1]
+    (u2, _, _, dtw_f, dtw_r, A2, Dsk2, bias2) = _pack_n1_inputs(
+        x, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds)
+
+    gf = g.astype(jnp.float32).reshape(B, L, D)
+    gt = jnp.swapaxes(g.astype(jnp.float32), 1, 2).reshape(B, L, D)
+    dy = jnp.concatenate([gf, gt], axis=-1)              # (B, L, 2D)
+
+    (du_f, du_r, dxd_f, dxd_r, dW2, dbias2, dA2, dDsk2) = \
+        fused_cross_scan_proj_bwd(u2, xd_f, xd_r, dy, cf, cr,
+                                  dtw_f, dtw_r, A2, Dsk2, bias2,
+                                  interpret=interpret, chunk=chunk)
+
+    du = du_f + du_r                                     # (B, L, 2D)
+    dxr = du[..., :D]                                    # grads w.r.t. xr
+    dxt_ = du[..., D:]                                   # grads w.r.t. xt
+
+    # unpack per-direction x_dbl cotangents [rank | B C]
+    def unpack(dxd, half):
+        s = half * R
+        rank = dxd[..., s:s + R]
+        bc = dxd[..., 2 * R + 2 * half:2 * R + 2 * half + 2]
+        return jnp.concatenate([rank, bc], axis=-1)      # (B, L, R+2)
+
+    d_k = [unpack(dxd_f, 0), unpack(dxd_r, 0),           # k0, k2 (row)
+           unpack(dxd_f, 1), unpack(dxd_r, 1)]           # k1, k3 (col)
+
+    xr = x.astype(jnp.float32).reshape(B, L, D)
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2).reshape(B, L, D)
+    Wf = x_proj_weight.astype(jnp.float32)
+
+    # chain through xdbl = src @ W^T : dsrc += dxd @ W ; dW = dxd^T @ src
+    dWc = []
+    for kk, (src_idx, k_orig) in enumerate([(0, 0), (0, 2), (1, 1), (1, 3)]):
+        src = xr if src_idx == 0 else xt
+        dxd_k = d_k[kk]
+        if src_idx == 0:
+            dxr = dxr + jnp.einsum("blc,cd->bld", dxd_k, Wf[k_orig])
+        else:
+            dxt_ = dxt_ + jnp.einsum("blc,cd->bld", dxd_k, Wf[k_orig])
+        dWc.append(jnp.einsum("blc,bld->cd", dxd_k, src))
+    dW_full = jnp.stack([dWc[0], dWc[2], dWc[1], dWc[3]])    # k order 0..3
+
+    dx = (dxr + jnp.swapaxes(dxt_.reshape(B, W, H, D), 1, 2)
+          .reshape(B, L, D)).reshape(B, H, W, D).astype(x.dtype)
+
+    # dt_w grads: diagonal blocks of the packed (2R, 2D) accumulators,
+    # transposed back to the (4, D, R) parameter layout
+    dtw_g = jnp.stack([
+        dW2[0, :R, :D], dW2[1, :R, :D],
+        dW2[0, R:, D:], dW2[1, R:, D:],
+    ])                                                    # [k0, k2, k1, k3]
+    dtw_g = dtw_g[jnp.array([0, 2, 1, 3])]                # -> k order
+    d_dtw = jnp.swapaxes(dtw_g, 1, 2)                     # (4, D, R)
+
+    def unpack2(t2):  # (2, 2D) -> (4, D) rows k0..k3
+        return jnp.stack([t2[0, :D], t2[0, D:], t2[1, :D], t2[1, D:]])
+
+    d_bias = unpack2(dbias2)                              # (4, D)
+    dA4 = unpack2(dA2)
+    dDsk4 = unpack2(dDsk2)
+
+    # A = -exp(A_logs)  =>  dA_logs = dA * A
+    A4 = -jnp.exp(A_logs.astype(jnp.float32)).reshape(4, D)
+    dA_logs = (dA4 * A4).reshape(A_logs.shape)
+    dDs = dDsk4.reshape(Ds.shape)
+
+    return (dx, dW_full.astype(x_proj_weight.dtype),
+            d_dtw.astype(dt_projs_weight.dtype),
+            d_bias.reshape(dt_projs_bias.shape).astype(dt_projs_bias.dtype),
+            dA_logs.astype(A_logs.dtype), dDs.astype(Ds.dtype))
 
 
 @jax.custom_vjp
 def ss2d_core_pallas_n1(x, x_proj_weight, dt_projs_weight, dt_projs_bias,
                         A_logs, Ds):
-    """Fused-projection d_state==1 SS2D core; XLA-autodiff backward."""
+    """Fused-projection d_state==1 SS2D core with a dedicated Pallas
+    backward kernel (reverse/forward adjoint pair-scans from chunk-state
+    checkpoints — the TPU counterpart of `selective_scan_bwd_kernel.cuh`)."""
     return _core_fused_proj_impl(x, x_proj_weight, dt_projs_weight,
                                  dt_projs_bias, A_logs, Ds)
 
 
 def _n1_fwd(x, xw, dw, bias, A_logs, Ds):
-    return _core_fused_proj_impl(x, xw, dw, bias, A_logs, Ds), \
-        (x, xw, dw, bias, A_logs, Ds)
+    y, (xd_f, xd_r, cf, cr) = _core_fused_proj_parts(x, xw, dw, bias,
+                                                     A_logs, Ds)
+    return y, (x, xw, dw, bias, A_logs, Ds, xd_f, xd_r, cf, cr)
 
 
 def _n1_bwd(res, g):
-    from xfmamba_tpu.models.ss2d import ss2d_core
-    x, xw, dw, bias, A_logs, Ds = res
-    _, vjp = jax.vjp(
-        lambda *args: ss2d_core(*args, d_state=1, scan_mode="cross2d",
-                                backend="xla"),
-        x, xw, dw, bias, A_logs, Ds)
-    return vjp(g.astype(jnp.float32))
+    x, xw, dw, bias, A_logs, Ds, xd_f, xd_r, cf, cr = res
+    return _core_fused_proj_bwd_impl(x, xw, dw, bias, A_logs, Ds,
+                                     xd_f, xd_r, cf, cr, g)
 
 
 ss2d_core_pallas_n1.defvjp(_n1_fwd, _n1_bwd)
