@@ -1,5 +1,7 @@
 """Tests for xfmamba_tpu.utils (flops / profiling / saliency) and mixup."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,3 +107,16 @@ def test_mixup():
     assert mx.shape == x.shape and my.shape == (4, 2)
     assert 0.0 <= float(lam) <= 1.0
     np.testing.assert_allclose(np.asarray(my.sum(-1)), np.ones(4), rtol=1e-6)
+
+
+def test_misc_utils(tmp_path, capsys):
+    from xfmamba_tpu.utils.misc import (get_save_path, set_random_seeds,
+                                        show_config)
+    key = set_random_seeds(7)
+    assert key is not None
+    show_config({"lr": 1e-4, "dataset": "mura"})
+    out = capsys.readouterr().out
+    assert "lr" in out and "mura" in out
+    p = get_save_path(str(tmp_path), "twoviewxfmamba", "mura", tag="t1")
+    assert os.path.isdir(p)
+    assert "mura_twoviewxfmamba_" in p and p.endswith("_t1")
