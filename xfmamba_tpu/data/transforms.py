@@ -109,6 +109,14 @@ class TwoViewTransform:
                 img = random_hflip(img, rng)
             if self.rotation:
                 img = random_rotation(img, self.rotation, rng)
+        if (img.dtype == np.uint8 and self.normalize_mean is not None
+                and img.ndim == 2):
+            # fused native u8 -> normalized f32 (GIL-free C++ kernel;
+            # numpy fallback inside) — the loader's hottest per-pixel op
+            from xfmamba_tpu.native import normalize_u8
+            return np.ascontiguousarray(
+                normalize_u8(img, self.normalize_mean,
+                             self.normalize_std, threads=1)[:, :, None])
         img = to_float(img)
         if self.normalize_mean is not None:
             img = (img - self.normalize_mean) / self.normalize_std
