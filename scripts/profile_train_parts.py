@@ -1,0 +1,48 @@
+import sys
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo/scripts")
+from chain_timer import chain_time
+from xfmamba_tpu.models.fusion import CrossSS2Dv5, ShallowFuseSS2Dv4
+from xfmamba_tpu.models.vssm import VSSBlock
+from xfmamba_tpu.models.tops import _make_backbone
+
+B = 16
+key = jax.random.key(0)
+z = jnp.ones((B, 7, 7, 768), jnp.bfloat16)
+
+cf = CrossSS2Dv5(d_model=768, d_state=16, dtype=jnp.bfloat16)
+vc = cf.init(jax.random.key(0), z, z)
+
+def loss_cf(p, a, b):
+    return (cf.apply({"params": p}, a, b).astype(jnp.float32) ** 2).sum()
+g_cf = jax.grad(loss_cf)
+t = chain_time(lambda a, b: jax.tree_util.tree_leaves(
+    g_cf(vc["params"], a, b))[0], [z, z])
+print(f"CrossSS2Dv5 grad: {t*1e3:.1f} ms")
+
+sf = ShallowFuseSS2Dv4(d_model=768, d_state=16, dtype=jnp.bfloat16)
+vs = sf.init(jax.random.key(0), z, z)
+
+def loss_sf(p, a, b):
+    y1, y2 = sf.apply({"params": p}, a, b)
+    return (y1.astype(jnp.float32) ** 2).sum() + (y2.astype(jnp.float32) ** 2).sum()
+g_sf = jax.grad(loss_sf)
+t = chain_time(lambda a, b: jax.tree_util.tree_leaves(
+    g_sf(vs["params"], a, b))[0], [z, z])
+print(f"ShallowFuse grad: {t*1e3:.1f} ms")
+
+# one stage-0 and one stage-2 VSSBlock grad
+for hw, dm in [(56, 96), (14, 384)]:
+    blk = VSSBlock(hidden_dim=dm, ssm_d_state=1, ssm_ratio=2.0,
+                   ssm_conv_bias=False, forward_type="v05_noz",
+                   mlp_ratio=4.0, dtype=jnp.bfloat16)
+    xin = jax.random.normal(key, (B, hw, hw, dm), jnp.bfloat16)
+    v = blk.init(jax.random.key(1), xin)
+
+    def loss_b(p, a, blk=blk):
+        return (blk.apply({"params": p}, a).astype(jnp.float32) ** 2).sum()
+    gb = jax.grad(loss_b)
+    t = chain_time(lambda a, gb=gb, v=v: jax.tree_util.tree_leaves(
+        gb(v["params"], a))[0], [xin])
+    print(f"VSSBlock {hw}x{hw} d={dm} grad: {t*1e3:.2f} ms")

@@ -146,3 +146,32 @@ def test_fused_proj_n1_backward_matches_autodiff(H, W, chunk):
         np.testing.assert_allclose(
             np.asarray(g_arr), np.asarray(w_arr), rtol=5e-4, atol=5e-4,
             err_msg=name)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_grouped_bwd_seq_matches_assoc_vjp(reverse):
+    """The grouped kernel's sequential-scan VJP == the associative-scan
+    VJP (both XLA; the kernel itself is exercised above)."""
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    from xfmamba_tpu.ops.selective_scan_pallas import _grouped_bwd
+
+    key = jax.random.key(3)
+    B, L, K, C, N = 1, 25, 2, 8, 4
+    ks = jax.random.split(key, 8)
+    u = jax.random.normal(ks[0], (B, L, K * C))
+    dt = jax.random.normal(ks[1], (B, L, K * C)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (K * C, N)) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, L, K, N))
+    Cm = jax.random.normal(ks[4], (B, L, K, N))
+    Dv = jax.random.normal(ks[5], (K * C,))
+    bias = jax.random.normal(ks[6], (K * C,)) * 0.1
+    g = jax.random.normal(ks[7], (B, L, K * C))
+
+    _, vjp = jax.vjp(
+        lambda *a: selective_scan(*a, delta_softplus=True, reverse=reverse),
+        u, dt, A, Bm, Cm, Dv, bias)
+    want = vjp(g)
+    got = _grouped_bwd(True, reverse, (u, dt, A, Bm, Cm, Dv, bias), g)
+    for w_arr, g_arr in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g_arr), np.asarray(w_arr),
+                                   rtol=2e-4, atol=2e-4)

@@ -15,7 +15,9 @@ Subpackages
 - ``data``       : MURA / CheXpert / CBIS-DDSM / hip-X-ray two-view pipelines.
 - ``train``      : jitted train/eval steps, metrics, early stopping, config.
 - ``parallel``   : device-mesh construction and sharded train steps.
-- ``utils``      : profiling, FLOPs accounting, misc helpers.
+- ``utils``      : profiling, FLOPs accounting, saliency, misc helpers.
+- ``cli``        : train + inference command-line entry points.
+- ``native``     : compiled C++ host-side data-path kernels (ctypes).
 """
 
 __version__ = "0.1.0"

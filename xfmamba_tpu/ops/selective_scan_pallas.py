@@ -147,9 +147,10 @@ def _pick_chunk(L: int, D: int, N: int) -> int:
     # the N==1 fast kernel keeps fewer live f32 arrays per step
     n_bufs = 8 if N == 1 else 10 + 2 * N
     max_chunk = budget // (d_pad * 4 * n_bufs)
-    # Hillis-Steele VPU work grows as chunk*log2(chunk): beyond 256 the
-    # extra log stages cost more than the saved per-step overhead (measured)
-    max_chunk = max(64, min(256, (max_chunk // 8) * 8))
+    # Hillis-Steele VPU work grows as chunk*log2(chunk): beyond ~128 the
+    # extra log stages cost more than the saved per-step overhead (measured
+    # sweep: chunk 128 best at stage-1 geometry, flat at stage 0)
+    max_chunk = max(64, min(128, (max_chunk // 8) * 8))
     # balance: equal-size chunks rounded to sublanes, minimizing tail padding
     n_chunks = -(-L // max_chunk)
     return ((-(-L // n_chunks) + 7) // 8) * 8
@@ -976,7 +977,11 @@ def _grouped_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
 
 
 def _grouped_bwd(delta_softplus, reverse, res, g):
-    from xfmamba_tpu.ops.selective_scan import selective_scan
+    # the sequential lax.scan formulation autodiffs with O(L) compact
+    # residuals; the associative scan's VJP materializes log(L) copies of
+    # the (B, L, KC, N) state tree — measured ~5x slower at the fusion
+    # layers' shapes (L=49, N=16)
+    from xfmamba_tpu.ops.selective_scan import selective_scan_seq
     u, delta, A, Bmat, Cmat, Dvec, delta_bias = res
     diff = (u, delta, A, Bmat, Cmat, Dvec, delta_bias)
     nones = [x is None for x in diff]
@@ -985,9 +990,14 @@ def _grouped_bwd(delta_softplus, reverse, res, g):
     def f(*args):
         it = iter(args)
         full = [None if nn else next(it) for nn in nones]
-        return selective_scan(full[0], full[1], full[2], full[3], full[4],
-                              full[5], full[6],
-                              delta_softplus=delta_softplus, reverse=reverse)
+        y = selective_scan_seq(full[0][:, ::-1] if reverse else full[0],
+                               full[1][:, ::-1] if reverse else full[1],
+                               full[2],
+                               full[3][:, ::-1] if reverse else full[3],
+                               full[4][:, ::-1] if reverse else full[4],
+                               full[5], full[6],
+                               delta_softplus=delta_softplus)
+        return y[:, ::-1] if reverse else y
 
     _, vjp = jax.vjp(f, *diff)
     grads = iter(vjp(g.astype(jnp.float32)))
