@@ -149,3 +149,39 @@ def test_mutual_grads_match_per_model_backward():
     for a, b in zip(flat_want, flat_got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_mutual_step_data_parallel_mesh():
+    """The BASELINE multi-model sweep workload (SURVEY.md §2.10): the fused
+    mutual-learning step jitted over an 8-device data-parallel mesh —
+    models replicated, batch sharded, grads psum'd by XLA."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from xfmamba_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(lr=1e-3)
+    m1, m2 = _tiny_vssm(), _tiny_vssm()
+    opt = make_optimizer(cfg)
+    mesh = make_mesh(8)
+
+    x = jax.random.normal(jax.random.key(0), (8, 16, 16, 3))
+    labels = jnp.arange(8) % 2
+    batch = {"image1": x, "label": labels}
+    s1 = init_train_state(m1, opt, jax.random.key(1), (x,))
+    s2 = init_train_state(m2, opt, jax.random.key(2), (x,))
+
+    step = make_mutual_train_step([m1, m2], [opt, opt], multilabel=False,
+                                  two_view=[False, False], jit_compile=False)
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch = {"image1": jax.device_put(x, data_sh),
+             "label": jax.device_put(labels, data_sh)}
+    states = jax.device_put([s1, s2], repl)
+
+    jstep = jax.jit(step)
+    states, metrics = jstep(states, batch, jax.random.key(3),
+                            jnp.asarray(cfg.lr))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(states[0].params)[0]
+    assert leaf.sharding.is_fully_replicated

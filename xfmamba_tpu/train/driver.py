@@ -182,6 +182,22 @@ def fit(model, cfg: TrainConfig, train_loader, val_loader,
                f"train_loss={tr_stats['loss']:.4f} "
                f"val_loss={va_stats['loss']:.4f} "
                f"val_auc={va_stats.get('auc', float('nan')):.4f}")
+        if getattr(cfg, "wandb", False):
+            # per-epoch metric logging (`1_train_model.py:173-181`)
+            try:
+                import wandb as _wandb
+                if _wandb.run is not None:
+                    _wandb.log({
+                        "epoch": epoch, "lr": lr,
+                        "train_loss": tr_stats["loss"],
+                        "train_acc": tr_stats.get("accuracy"),
+                        "train_auc": tr_stats.get("auc"),
+                        "val_loss": va_stats["loss"],
+                        "val_acc": va_stats.get("accuracy"),
+                        "val_auc": va_stats.get("auc"),
+                    })
+            except Exception:
+                pass
         write_epoch_artifacts(out_dir, epoch, va_stats, logits, labels,
                               multilabel)
         history.append({"epoch": epoch, "train": tr_stats, "val": va_stats})
