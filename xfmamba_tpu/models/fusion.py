@@ -323,29 +323,21 @@ class CrossSS2Dv5(nn.Module):
         out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                 name="out_norm")
 
-        dts_f, Bs_f, Cs_f = _project_kdirs(xf_p, x_proj_weight,
+        # batch the three streams (fused, x, x2) on the batch axis: one
+        # projection einsum and ONE scan-kernel invocation instead of three;
+        # the fused stream's Cs substitute for each view's own (`:537,:568`)
+        Bv = x.shape[0]
+        xcat = jnp.concatenate([xf_p, x_p, x2_p], axis=0)
+        dts_c, Bs_c, Cs_c = _project_kdirs(xcat, x_proj_weight,
                                            dt_projs_weight, R, N)
-        y_fuse = core_dispatch(xf_p, dts_f, Bs_f, Cs_f, A, Dmat, bias,
-                               scan_mode=self.scan_mode,
-                               backend=self.scan_backend,
-                               scan_impl=self.scan_impl)
-        y_fuse = out_norm(y_fuse.astype(x.dtype))
-
-        dts1, Bs1, _ = _project_kdirs(x_p, x_proj_weight, dt_projs_weight,
-                                      R, N)
-        y = core_dispatch(x_p, dts1, Bs1, Cs_f, A, Dmat, bias,
-                          scan_mode=self.scan_mode,
-                          backend=self.scan_backend,
-                          scan_impl=self.scan_impl)
-        y = out_norm(y.astype(x.dtype))
-
-        dts2, Bs2, _ = _project_kdirs(x2_p, x_proj_weight, dt_projs_weight,
-                                      R, N)
-        y2 = core_dispatch(x2_p, dts2, Bs2, Cs_f, A, Dmat, bias,
+        Cs_f = Cs_c[:Bv]
+        Cs_sub = jnp.concatenate([Cs_f, Cs_f, Cs_f], axis=0)
+        y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
                            scan_mode=self.scan_mode,
                            backend=self.scan_backend,
                            scan_impl=self.scan_impl)
-        y2 = out_norm(y2.astype(x2.dtype))
+        y3 = out_norm(y3.astype(x.dtype))
+        y_fuse, y, y2 = jnp.split(y3, 3, axis=0)
 
         y_fusion3 = y * z + y2 * z + y_fuse * z
         out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
