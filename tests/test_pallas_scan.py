@@ -56,9 +56,9 @@ def test_grouped_scan_matches_oracle():
     for reverse in (False, True):
         want = selective_scan(u, dt, A, Bm, Cm, Dv, bias,
                               delta_softplus=True, reverse=reverse)
-        got = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, Dv, bias,
-                                      delta_softplus=True, reverse=reverse,
-                                      interpret=True)
+        got, _ = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, Dv, bias,
+                                         delta_softplus=True,
+                                         reverse=reverse, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
@@ -79,9 +79,10 @@ def test_grouped_scan_chunked_matches_oracle():
     for reverse in (False, True):
         want = selective_scan(u, dt, A, Bm, Cm, None, None,
                               delta_softplus=True, reverse=reverse)
-        got = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, None, None,
-                                      delta_softplus=True, reverse=reverse,
-                                      interpret=True, chunk=128)
+        got, _ = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, None, None,
+                                         delta_softplus=True,
+                                         reverse=reverse, interpret=True,
+                                         chunk=128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
@@ -149,11 +150,11 @@ def test_fused_proj_n1_backward_matches_autodiff(H, W, chunk):
 
 
 @pytest.mark.parametrize("reverse", [False, True])
-def test_grouped_bwd_seq_matches_assoc_vjp(reverse):
-    """The grouped kernel's sequential-scan VJP == the associative-scan
-    VJP (both XLA; the kernel itself is exercised above)."""
+def test_grouped_bwd_kernel_matches_vjp(reverse):
+    """The grouped Pallas adjoint kernel == XLA autodiff of the oracle."""
     from xfmamba_tpu.ops.selective_scan import selective_scan
-    from xfmamba_tpu.ops.selective_scan_pallas import _grouped_bwd
+    from xfmamba_tpu.ops.selective_scan_pallas import (
+        grouped_scan_pallas_bwd, grouped_scan_pallas_fwd)
 
     key = jax.random.key(3)
     B, L, K, C, N = 1, 25, 2, 8, 4
@@ -171,7 +172,46 @@ def test_grouped_bwd_seq_matches_assoc_vjp(reverse):
         lambda *a: selective_scan(*a, delta_softplus=True, reverse=reverse),
         u, dt, A, Bm, Cm, Dv, bias)
     want = vjp(g)
-    got = _grouped_bwd(True, reverse, (u, dt, A, Bm, Cm, Dv, bias), g)
-    for w_arr, g_arr in zip(want, got):
+    _, carr = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, Dv, bias,
+                                      delta_softplus=True, reverse=reverse,
+                                      interpret=True)
+    got = grouped_scan_pallas_bwd(u, dt, A, Bm, Cm, Dv, bias, carr, g,
+                                  reverse=reverse, interpret=True)
+    names = ["du", "d_delta", "dA", "dB", "dC", "dD", "dbias"]
+    for name, w_arr, g_arr in zip(names, want, got):
         np.testing.assert_allclose(np.asarray(g_arr), np.asarray(w_arr),
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_grouped_bwd_kernel_multichunk(reverse):
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    from xfmamba_tpu.ops.selective_scan_pallas import (
+        grouped_scan_pallas_bwd, grouped_scan_pallas_fwd)
+
+    key = jax.random.key(9)
+    B, L, K, C, N = 1, 300, 2, 8, 3
+    ks = jax.random.split(key, 8)
+    u = jax.random.normal(ks[0], (B, L, K * C))
+    dt = jax.random.normal(ks[1], (B, L, K * C)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (K * C, N)) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, L, K, N))
+    Cm = jax.random.normal(ks[4], (B, L, K, N))
+    Dv = jax.random.normal(ks[5], (K * C,))
+    bias = jax.random.normal(ks[6], (K * C,)) * 0.1
+    g = jax.random.normal(ks[7], (B, L, K * C))
+
+    _, vjp = jax.vjp(
+        lambda *a: selective_scan(*a, delta_softplus=True, reverse=reverse),
+        u, dt, A, Bm, Cm, Dv, bias)
+    want = vjp(g)
+    _, carr = grouped_scan_pallas_fwd(u, dt, A, Bm, Cm, Dv, bias,
+                                      delta_softplus=True, reverse=reverse,
+                                      interpret=True, chunk=128)
+    got = grouped_scan_pallas_bwd(u, dt, A, Bm, Cm, Dv, bias, carr, g,
+                                  reverse=reverse, interpret=True,
+                                  chunk=128)
+    names = ["du", "d_delta", "dA", "dB", "dC", "dD", "dbias"]
+    for name, w_arr, g_arr in zip(names, want, got):
+        np.testing.assert_allclose(np.asarray(g_arr), np.asarray(w_arr),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)

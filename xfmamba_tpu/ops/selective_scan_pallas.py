@@ -836,7 +836,7 @@ ss2d_core_pallas_n1.defvjp(_n1_fwd, _n1_bwd)
 def _grouped_scan_kernel(L, chunk, n_chunks, N, out_dtype, reverse,
                          u_ref, dt_ref, B_ref, C_ref,
                          A_ref, Dsk_ref, bias_ref,
-                         y_ref, carry, dt_s, acc):
+                         y_ref, carr_ref, carry, dt_s, acc):
     """One direction of the selective scan for K channel groups and N state
     dims.  Grid (B, K, n_chunks, N) — N innermost so the per-chunk output
     accumulates across state dims in the VMEM scratch `acc`; the carry
@@ -862,6 +862,9 @@ def _grouped_scan_kernel(L, chunk, n_chunks, N, out_dtype, reverse,
     @pl.when(c == 0)
     def _():
         carry[pl.ds(n, 1), :] = jnp.zeros_like(carry[pl.ds(n, 1), :])
+
+    # checkpoint the incoming state for the backward kernel (x_ptr analogue)
+    carr_ref[0, 0, 0, pl.ds(n, 1), :] = carry[pl.ds(n, 1), :]
 
     u = u_ref[0, 0].astype(jnp.float32)                  # (chunk, C)
     dt = dt_s[...]
@@ -938,16 +941,29 @@ def grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
     blk_bn = pl.BlockSpec((1, 1, chunk, N), im_data, memory_space=pltpu.VMEM)
     blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    Np = max(8, ((N + 7) // 8) * 8)
+
+    def im_carr(b, k, c, n):
+        cc = n_chunks - 1 - c if reverse else c
+        return (b, k, cc, 0, 0)
+
     kernel = functools.partial(_grouped_scan_kernel, L, chunk, n_chunks, N,
                                u.dtype, reverse)
-    y4 = pl.pallas_call(
+    y4, carr = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk_u, blk_u, blk_bn, blk_bn,
                   blk_full, blk_full, blk_full],
-        out_specs=pl.BlockSpec((1, 1, chunk, C), im_data,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bsz, K, L, C), u.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, chunk, C), im_data,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Np, C), im_carr,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bsz, K, L, C), u.dtype),
+            jax.ShapeDtypeStruct((Bsz, K, n_chunks, Np, C), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((N, C), jnp.float32),
             pltpu.VMEM((chunk, C), jnp.float32),
@@ -955,53 +971,242 @@ def grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
         ],
         interpret=interpret,
     )(u4, dt4, B4, C4, A_k, Dsk, bias)
-    return jnp.swapaxes(y4, 1, 2).reshape(Bsz, L, KC)
+    return jnp.swapaxes(y4, 1, 2).reshape(Bsz, L, KC), carr
+
+
+def _grouped_scan_kernel_bwd(L, chunk, n_chunks, K, N, reverse,
+                             u_ref, dt_ref, B_ref, C_ref, dy_ref, carr_ref,
+                             A_ref, Dsk_ref, bias_ref,
+                             du_ref, ddt_ref, dB_ref, dC_ref,
+                             dA_ref, dD_ref, dbias_ref,
+                             lam, aedge, du_acc, ddt_acc, dB_acc, dC_acc,
+                             dA_acc, dD_acc, dbias_acc, dt_s, sig_s):
+    """Backward of `_grouped_scan_kernel`: same grid (B, K, nc, N) with the
+    chunk axis walked in the adjoint direction; per-(k, n) λ pair-scans from
+    the forward's state checkpoints; du/d(delta)/dB/dC accumulate across n
+    in VMEM; dA/dD/dbias accumulate across the whole grid."""
+    b_idx = pl.program_id(0)
+    k = pl.program_id(1)
+    c = pl.program_id(2)
+    n = pl.program_id(3)
+    base = (c if reverse else n_chunks - 1 - c) * chunk
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    valid = (base + row1) < L
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b_idx == 0, c == 0),
+                             jnp.logical_and(k == 0, n == 0)))
+    def _():
+        dA_acc[...] = jnp.zeros_like(dA_acc)
+        dD_acc[...] = jnp.zeros_like(dD_acc)
+        dbias_acc[...] = jnp.zeros_like(dbias_acc)
+
+    @pl.when(c == 0)
+    def _():
+        lam[pl.ds(n, 1), :] = jnp.zeros_like(lam[pl.ds(n, 1), :])
+        aedge[pl.ds(n, 1), :] = jnp.zeros_like(aedge[pl.ds(n, 1), :])
+
+    u = jnp.where(valid, u_ref[0, 0].astype(jnp.float32), 0.0)
+    dyv = jnp.where(valid, dy_ref[0, 0].astype(jnp.float32), 0.0)
+    Bfull = jnp.where(valid, B_ref[0, 0].astype(jnp.float32), 0.0)
+    Cfull = jnp.where(valid, C_ref[0, 0].astype(jnp.float32), 0.0)
+
+    @pl.when(n == 0)
+    def _():
+        dt_raw = jnp.where(valid, dt_ref[0, 0].astype(jnp.float32), 0.0)
+        b_k = bias_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        pre = dt_raw + b_k
+        dt_s[...] = jax.nn.softplus(pre)
+        sig_s[...] = jax.nn.sigmoid(pre)
+        dsk = Dsk_ref[pl.ds(k, 1), :].astype(jnp.float32)
+        du_acc[...] = dyv * dsk
+        ddt_acc[...] = jnp.zeros_like(ddt_acc)
+        dB_acc[...] = jnp.zeros_like(dB_acc)
+        dC_acc[...] = jnp.zeros_like(dC_acc)
+        dD_acc[pl.ds(k, 1), :] += jnp.sum(dyv * u, axis=0, keepdims=True)
+
+    dt = dt_s[...]
+    a_n = A_ref[pl.ds(k, 1), pl.ds(n, 1), :].astype(
+        jnp.float32).reshape(1, -1)                      # (1, C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, Bfull.shape, 1)
+    Bn = jnp.sum(jnp.where(lane == n, Bfull, 0.0), axis=1, keepdims=True)
+    Cn = jnp.sum(jnp.where(lane == n, Cfull, 0.0), axis=1, keepdims=True)
+
+    a = jnp.where(valid, jnp.exp(dt * a_n), 1.0)
+    bvec = jnp.where(valid, dt * u * Bn, 0.0)
+    carry_in = carr_ref[0, 0, 0, pl.ds(n, 1), :]          # (1, C)
+    a_s, b_s = _hillis_steele(a, bvec, chunk, reverse)
+    h = b_s + a_s * carry_in
+    if reverse:
+        h_prev = jnp.concatenate([h[1:], carry_in], axis=0)
+    else:
+        h_prev = jnp.concatenate([carry_in, h[:-1]], axis=0)
+
+    cvec = dyv * Cn
+    an_edge = aedge[pl.ds(n, 1), :]
+    if reverse:
+        a_sh = jnp.concatenate([an_edge, a[:-1]], axis=0)
+    else:
+        a_sh = jnp.concatenate([a[1:], an_edge], axis=0)
+    ga, gb = _hillis_steele(a_sh, cvec, chunk, not reverse)
+    gh = gb + ga * lam[pl.ds(n, 1), :]
+    if reverse:
+        lam[pl.ds(n, 1), :] = gh[chunk - 1:chunk, :]
+        aedge[pl.ds(n, 1), :] = a[chunk - 1:chunk, :]
+    else:
+        lam[pl.ds(n, 1), :] = gh[0:1, :]
+        aedge[pl.ds(n, 1), :] = a[0:1, :]
+
+    dexp = gh * h_prev * a
+    du_acc[...] += gh * dt * Bn
+    ddt_acc[...] += gh * u * Bn + dexp * a_n
+    ghdtu_sum = jnp.sum(gh * dt * u, axis=1, keepdims=True)  # (chunk, 1)
+    dyh_sum = jnp.sum(dyv * h, axis=1, keepdims=True)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, dB_acc.shape, 1)
+    dB_acc[...] += jnp.where(laneN == n, ghdtu_sum, 0.0)
+    dC_acc[...] += jnp.where(laneN == n, dyh_sum, 0.0)
+    dA_acc[pl.ds(k * N + n, 1), :] += jnp.sum(dexp * dt, axis=0,
+                                              keepdims=True)
+
+    @pl.when(n == N - 1)
+    def _():
+        d_delta = ddt_acc[...] * sig_s[...]
+        du_ref[0, 0] = du_acc[...]
+        ddt_ref[0, 0] = d_delta
+        dB_ref[0, 0] = dB_acc[...]
+        dC_ref[0, 0] = dC_acc[...]
+        dbias_acc[pl.ds(k, 1), :] += jnp.sum(d_delta, axis=0, keepdims=True)
+
+    dA_ref[...] = dA_acc[...]
+    dD_ref[...] = dD_acc[...]
+    dbias_ref[...] = dbias_acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret",
+                                             "chunk"))
+def grouped_scan_pallas_bwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
+                            carr, dy, reverse=False, interpret=False,
+                            chunk=None):
+    """Run the grouped backward kernel.  Layouts as the forward; dy is the
+    cotangent (B, L, K*C).  Returns (du, d_delta, dA, dB, dC, dD, dbias)."""
+    Bsz, L, KC = u.shape
+    K = Bmat.shape[2]
+    N = A.shape[-1]
+    C = KC // K
+
+    u4 = jnp.swapaxes(u.reshape(Bsz, L, K, C), 1, 2)
+    dt4 = jnp.swapaxes(delta.reshape(Bsz, L, K, C), 1, 2)
+    dy4 = jnp.swapaxes(dy.astype(jnp.float32).reshape(Bsz, L, K, C), 1, 2)
+    B4 = jnp.swapaxes(Bmat, 1, 2)
+    C4 = jnp.swapaxes(Cmat, 1, 2)
+    A_k = jnp.swapaxes(A.astype(jnp.float32).reshape(K, C, N), 1, 2)
+    Dsk = (Dvec if Dvec is not None else jnp.zeros((KC,))) \
+        .astype(jnp.float32).reshape(K, C)
+    bias = (delta_bias if delta_bias is not None else jnp.zeros((KC,))) \
+        .astype(jnp.float32).reshape(K, C)
+
+    if chunk is None:
+        c_pad = max(128, ((C + 127) // 128) * 128)
+        chunk = (6 * 1024 * 1024) // (c_pad * 4 * 10)
+        chunk = max(128, 1 << int(math.floor(math.log2(max(chunk, 128)))))
+        chunk = min(chunk, 256)
+        if L <= chunk:
+            chunk = ((L + 7) // 8) * 8
+    n_chunks = pl.cdiv(L, chunk)
+    Np = max(8, ((N + 7) // 8) * 8)
+    grid = (Bsz, K, n_chunks, N)
+
+    def im_adj(b, k, c, n):    # adjoint walks opposite to the forward
+        cc = c if reverse else n_chunks - 1 - c
+        return (b, k, cc, 0)
+
+    def im_carr(b, k, c, n):
+        cc = c if reverse else n_chunks - 1 - c
+        return (b, k, cc, 0, 0)
+
+    blk_u = pl.BlockSpec((1, 1, chunk, C), im_adj, memory_space=pltpu.VMEM)
+    blk_bn = pl.BlockSpec((1, 1, chunk, N), im_adj, memory_space=pltpu.VMEM)
+    blk_carr = pl.BlockSpec((1, 1, 1, Np, C), im_carr,
+                            memory_space=pltpu.VMEM)
+    blk_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_grouped_scan_kernel_bwd, L, chunk, n_chunks,
+                               K, N, reverse)
+    (du4, ddt4, dB4, dC4, dA_kn, dD_k, dbias_k) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk_u, blk_u, blk_bn, blk_bn, blk_u, blk_carr,
+                  blk_full, blk_full, blk_full],
+        out_specs=[
+            blk_u, blk_u, blk_bn, blk_bn,
+            blk_full, blk_full, blk_full,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bsz, K, L, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, K, L, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, K, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, K, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((K * N, C), jnp.float32),
+            jax.ShapeDtypeStruct((K, C), jnp.float32),
+            jax.ShapeDtypeStruct((K, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, C), jnp.float32),      # lam
+            pltpu.VMEM((N, C), jnp.float32),      # aedge
+            pltpu.VMEM((chunk, C), jnp.float32),  # du_acc
+            pltpu.VMEM((chunk, C), jnp.float32),  # ddt_acc
+            pltpu.VMEM((chunk, N), jnp.float32),  # dB_acc
+            pltpu.VMEM((chunk, N), jnp.float32),  # dC_acc
+            pltpu.VMEM((K * N, C), jnp.float32),  # dA_acc
+            pltpu.VMEM((K, C), jnp.float32),      # dD_acc
+            pltpu.VMEM((K, C), jnp.float32),      # dbias_acc
+            pltpu.VMEM((chunk, C), jnp.float32),  # dt_s
+            pltpu.VMEM((chunk, C), jnp.float32),  # sig_s
+        ],
+        interpret=interpret,
+    )(u4, dt4, B4, C4, dy4, carr, A_k, Dsk, bias)
+
+    du = jnp.swapaxes(du4, 1, 2).reshape(Bsz, L, KC).astype(u.dtype)
+    d_delta = jnp.swapaxes(ddt4, 1, 2).reshape(Bsz, L, KC) \
+        .astype(delta.dtype)
+    dB = jnp.swapaxes(dB4, 1, 2).astype(Bmat.dtype)
+    dC = jnp.swapaxes(dC4, 1, 2).astype(Cmat.dtype)
+    dA = jnp.swapaxes(dA_kn.reshape(K, N, C), 1, 2).reshape(KC, N) \
+        .astype(A.dtype)
+    dD = dD_k.reshape(KC)
+    dbias = dbias_k.reshape(KC)
+    return du, d_delta, dA, dB, dC, dD, dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def selective_scan_grouped_pallas(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
                                   delta_softplus=True, reverse=False):
     """`ops.selective_scan`-compatible Pallas path (fp32 state, output in
-    u.dtype); backward runs the XLA associative-scan VJP."""
+    u.dtype); backward runs the dedicated Pallas adjoint kernel."""
     return grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec,
-                                   delta_bias, delta_softplus=delta_softplus,
-                                   reverse=reverse)
+                                   delta_bias,
+                                   delta_softplus=delta_softplus,
+                                   reverse=reverse)[0]
 
 
 def _grouped_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
                  delta_softplus, reverse):
-    y = grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec, delta_bias,
-                                delta_softplus=delta_softplus,
-                                reverse=reverse)
-    return y, (u, delta, A, Bmat, Cmat, Dvec, delta_bias)
+    y, carr = grouped_scan_pallas_fwd(u, delta, A, Bmat, Cmat, Dvec,
+                                      delta_bias,
+                                      delta_softplus=delta_softplus,
+                                      reverse=reverse)
+    return y, (u, delta, A, Bmat, Cmat, Dvec, delta_bias, carr)
 
 
 def _grouped_bwd(delta_softplus, reverse, res, g):
-    # the sequential lax.scan formulation autodiffs with O(L) compact
-    # residuals; the associative scan's VJP materializes log(L) copies of
-    # the (B, L, KC, N) state tree — measured ~5x slower at the fusion
-    # layers' shapes (L=49, N=16)
-    from xfmamba_tpu.ops.selective_scan import selective_scan_seq
-    u, delta, A, Bmat, Cmat, Dvec, delta_bias = res
-    diff = (u, delta, A, Bmat, Cmat, Dvec, delta_bias)
-    nones = [x is None for x in diff]
-    diff = tuple(x for x in diff if x is not None)
-
-    def f(*args):
-        it = iter(args)
-        full = [None if nn else next(it) for nn in nones]
-        y = selective_scan_seq(full[0][:, ::-1] if reverse else full[0],
-                               full[1][:, ::-1] if reverse else full[1],
-                               full[2],
-                               full[3][:, ::-1] if reverse else full[3],
-                               full[4][:, ::-1] if reverse else full[4],
-                               full[5], full[6],
-                               delta_softplus=delta_softplus)
-        return y[:, ::-1] if reverse else y
-
-    _, vjp = jax.vjp(f, *diff)
-    grads = iter(vjp(g.astype(jnp.float32)))
-    return tuple(None if nn else next(grads) for nn in nones)
+    assert delta_softplus
+    u, delta, A, Bmat, Cmat, Dvec, delta_bias, carr = res
+    du, d_delta, dA, dB, dC, dD, dbias = grouped_scan_pallas_bwd(
+        u, delta, A, Bmat, Cmat, Dvec, delta_bias, carr, g,
+        reverse=reverse)
+    return (du, d_delta, dA, dB, dC,
+            None if Dvec is None else dD.astype(Dvec.dtype),
+            None if delta_bias is None else dbias.astype(delta_bias.dtype))
 
 
 selective_scan_grouped_pallas.defvjp(_grouped_fwd, _grouped_bwd)
