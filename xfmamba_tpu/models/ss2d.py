@@ -735,7 +735,12 @@ class SS2D(nn.Module):
 
         u = jnp.swapaxes(us_k, 1, 2).reshape(B_, L, K * d_inner)
         delta = jnp.swapaxes(dts_k, 1, 2).reshape(B_, L, K * d_inner)
-        ys = self.scan_impl(
+        scan_impl = self.scan_impl
+        if scan_impl is selective_scan and jax.default_backend() != "cpu":
+            from xfmamba_tpu.ops.selective_scan_pallas import (
+                selective_scan_auto)
+            scan_impl = selective_scan_auto
+        ys = scan_impl(
             u, delta, -jnp.exp(A_logs.astype(jnp.float32)),
             jnp.swapaxes(Bs_k, 1, 2), jnp.swapaxes(Cs_k, 1, 2),
             Ds.astype(jnp.float32), dt_projs_bias.reshape(-1),
