@@ -209,3 +209,37 @@ def test_swiglu():
     g = jnp.asarray([3.0, 4.0])
     want = e * jax.nn.sigmoid(e) * g
     np.testing.assert_allclose(np.asarray(swiglu(e, g)), np.asarray(want))
+
+
+def test_ssd_matches_pytorch_reference():
+    """Cross-framework golden check: our chunked SSD vs the reference's
+    pure-torch `mamba_chunk_scan_combined_torch` (`ssd_minimal.py:85-127`)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference_module, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    ref = load_reference_module("ssd_minimal")
+
+    rng = np.random.default_rng(0)
+    b, s, h, p, g, n = 2, 128, 4, 8, 2, 16
+    x = rng.standard_normal((b, s, h, p)).astype(np.float32)
+    dt = np.abs(rng.standard_normal((b, s, h))).astype(np.float32) * 0.5
+    A = -np.exp(rng.uniform(size=(h,))).astype(np.float32)
+    B = rng.standard_normal((b, s, g, n)).astype(np.float32)
+    C = rng.standard_normal((b, s, g, n)).astype(np.float32)
+    D = rng.standard_normal((h,)).astype(np.float32)
+    bias = np.full((h,), 0.2, np.float32)
+
+    want = ref.mamba_chunk_scan_combined_torch(
+        torch.tensor(x), torch.tensor(dt), torch.tensor(A),
+        torch.tensor(B), torch.tensor(C), chunk_size=32,
+        D=torch.tensor(D), dt_bias=torch.tensor(bias),
+        dt_softplus=True).numpy()
+
+    got = ssd_chunk_scan(jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+                         jnp.asarray(B), jnp.asarray(C), chunk_size=32,
+                         D=jnp.asarray(D), dt_bias=jnp.asarray(bias),
+                         dt_softplus=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
