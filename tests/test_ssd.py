@@ -243,3 +243,70 @@ def test_ssd_matches_pytorch_reference():
                          D=jnp.asarray(D), dt_bias=jnp.asarray(bias),
                          dt_softplus=True)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def _ref_module(name):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference_module, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    pytest.importorskip("torch")
+    return load_reference_module(name)
+
+
+def test_state_update_matches_pytorch_reference():
+    """Cross-framework: decode-step update vs the reference's
+    `selective_state_update_ref` (`selective_state_update.py:202`)."""
+    import torch
+    ref = _ref_module("selective_state_update")
+    rng = np.random.default_rng(1)
+    b, h, p, n = 2, 3, 4, 8
+    state = rng.standard_normal((b, h, p, n)).astype(np.float32)
+    x = rng.standard_normal((b, h, p)).astype(np.float32)
+    dt = rng.standard_normal((b, h, p)).astype(np.float32)
+    A = -np.exp(rng.uniform(size=(h, p, n))).astype(np.float32)
+    B = rng.standard_normal((b, h, n)).astype(np.float32)
+    C = rng.standard_normal((b, h, n)).astype(np.float32)
+    D = rng.standard_normal((h, p)).astype(np.float32)
+    z = rng.standard_normal((b, h, p)).astype(np.float32)
+    bias = np.full((h, p), 0.1, np.float32)
+
+    t_state = torch.tensor(state)  # mutated in place by the reference
+    want_y = ref.selective_state_update_ref(
+        t_state, torch.tensor(x), torch.tensor(dt), torch.tensor(A),
+        torch.tensor(B), torch.tensor(C), D=torch.tensor(D),
+        z=torch.tensor(z), dt_bias=torch.tensor(bias),
+        dt_softplus=True).numpy()
+
+    new_state, y = selective_state_update(
+        jnp.asarray(state), jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C), D=jnp.asarray(D), z=jnp.asarray(z),
+        dt_bias=jnp.asarray(bias), dt_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), want_y, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_state), t_state.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gated_norms_match_pytorch_reference():
+    """Cross-framework: gated RMS/LayerNorm vs `rms_norm_ref`
+    (`layernorm_gated.py:18`)."""
+    import torch
+    ref = _ref_module("layernorm_gated")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 5, 32)).astype(np.float32)
+    z = rng.standard_normal((3, 5, 32)).astype(np.float32)
+    w = rng.standard_normal(32).astype(np.float32)
+
+    for nbg in (True, False):
+        for gs in (None, 8):
+            want = ref.rms_norm_ref(
+                torch.tensor(x), torch.tensor(w), None,
+                z=torch.tensor(z), eps=1e-5, group_size=gs,
+                norm_before_gate=nbg).numpy()
+            got = rmsnorm_gated(jnp.asarray(x), jnp.asarray(w),
+                                z=jnp.asarray(z), eps=1e-5, group_size=gs,
+                                norm_before_gate=nbg)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                       atol=2e-5,
+                                       err_msg=f"nbg={nbg} gs={gs}")
