@@ -119,8 +119,42 @@ class VSSBlock(nn.Module):
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
+    def _fused_path(self, x, deterministic: bool):
+        """Whole-block Pallas megakernel (TPU, bf16, v05_noz/d_state=1 —
+        the shipped backbone config).  Returns None when not applicable;
+        init-time always takes the composable path so the param tree is
+        identical either way."""
+        if self.is_initializing() or not deterministic:
+            return None
+        if (self.forward_type != "v05_noz" or self.ssm_d_state != 1
+                or self.ssm_ratio != 2.0 or self.ssm_act != "silu"
+                or self.ssm_conv != 3 or self.post_norm or self.gmlp
+                or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
+                or jax.default_backend() == "cpu"):
+            return None
+        from xfmamba_tpu.ops.vss_block_pallas import (
+            fused_vss_block_supported, pick_group, vss_block_fused)
+        B, H, W, d = x.shape
+        di = int(self.ssm_ratio * d)
+        hd = int(self.hidden_dim * self.mlp_ratio)
+        fuse_mlp = self.mlp_ratio > 0
+        if not fused_vss_block_supported(H, W, d, di, hd, fuse_mlp):
+            return None
+        p = self.variables["params"]
+        if "bias" in p["op"]["in_proj"] or "out_norm" not in p["op"] \
+                or "norm" not in p["op"]["out_norm"]:
+            return None
+        g = pick_group(B, H, W, d, di, hd, fuse_mlp)
+        y = vss_block_fused(x.reshape(B, H * W, d), p, H, W,
+                            self.ssm_conv_bias, fuse_mlp, g)
+        return y.reshape(B, H, W, d)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        fused = self._fused_path(x, deterministic)
+        if fused is not None:
+            return fused
+
         def body(x):
             if self.ssm_ratio > 0:
                 h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
