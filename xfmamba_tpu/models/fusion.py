@@ -162,16 +162,40 @@ class ShallowFuseSS2Dv4(nn.Module):
         dts = jnp.einsum("blkr,kdr->blkd", dts,
                          dt_projs_weight.astype(xs.dtype))
 
-        scan_impl = self.scan_impl
-        if scan_impl is selective_scan and jax.default_backend() != "cpu":
-            from xfmamba_tpu.ops.selective_scan_pallas import (
-                selective_scan_auto)
-            scan_impl = selective_scan_auto
         u = xs.reshape(B, L, K * d_inner)
-        ys = scan_impl(
-            u, dts.reshape(B, L, K * d_inner),
-            -jnp.exp(A_logs.astype(jnp.float32)),
-            Bs, Cs, Ds, dt_projs_bias.reshape(-1), delta_softplus=True)
+        from xfmamba_tpu.ops import vss_block_pallas as _vbp
+        if deterministic and jax.default_backend() != "cpu" \
+                and _vbp.FUSED_INFERENCE \
+                and self.scan_impl is selective_scan:
+            # inference: whole-map multi-state kernel, both groups scanned
+            # forward over flattened L (`fusion_vmamba.py:831-833`).  The
+            # K*D channel layout maps to kernel D with K folded into
+            # lanes: treat as K groups of D channels via one call per k.
+            from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call
+            A2 = -jnp.exp(A_logs.astype(jnp.float32))     # (K*D, N)
+            ys = []
+            for k in range(K):
+                sl = slice(k * d_inner, (k + 1) * d_inner)
+                ys.append(nk_scan_call(
+                    u[..., sl], dts.reshape(B, L, K * d_inner)[..., sl],
+                    Bs[:, :, k], Cs[:, :, k],
+                    jnp.swapaxes(A2[sl], 0, 1),           # (N, D)
+                    Ds[sl].reshape(1, -1),
+                    dt_projs_bias[k].reshape(1, -1),
+                    H, W, ("row_f",),
+                    group=max(g for g in (8, 4, 2, 1) if B % g == 0)))
+            ys = jnp.concatenate(ys, axis=-1)
+        else:
+            scan_impl = self.scan_impl
+            if scan_impl is selective_scan \
+                    and jax.default_backend() != "cpu":
+                from xfmamba_tpu.ops.selective_scan_pallas import (
+                    selective_scan_auto)
+                scan_impl = selective_scan_auto
+            ys = scan_impl(
+                u, dts.reshape(B, L, K * d_inner),
+                -jnp.exp(A_logs.astype(jnp.float32)),
+                Bs, Cs, Ds, dt_projs_bias.reshape(-1), delta_softplus=True)
         # SwappingMerge: split back (true adjoint under autodiff,
         # `fusion_vmamba.py:224-241`)
         y1 = ys[..., :d_inner].reshape(B, H, W, d_inner).astype(x.dtype)
@@ -332,10 +356,21 @@ class CrossSS2Dv5(nn.Module):
                                            dt_projs_weight, R, N)
         Cs_f = Cs_c[:Bv]
         Cs_sub = jnp.concatenate([Cs_f, Cs_f, Cs_f], axis=0)
-        y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
-                           scan_mode=self.scan_mode,
-                           backend=self.scan_backend,
-                           scan_impl=self.scan_impl)
+        from xfmamba_tpu.ops import vss_block_pallas as _vbp
+        if (deterministic and jax.default_backend() != "cpu"
+                and _vbp.FUSED_INFERENCE
+                and self.scan_backend in ("auto", "pallas")
+                and self.scan_mode in ("cross2d", "unidi", "bidi")):
+            # inference: whole-map multi-state kernel (one grid step per
+            # G-image group instead of B*K*N grouped-kernel steps)
+            from xfmamba_tpu.ops.vss_block_pallas import nk_scan_from_projs
+            y3 = nk_scan_from_projs(xcat, dts_c, Bs_c, Cs_sub, A, Dmat,
+                                    bias, scan_mode=self.scan_mode)
+        else:
+            y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
+                               scan_mode=self.scan_mode,
+                               backend=self.scan_backend,
+                               scan_impl=self.scan_impl)
         y3 = out_norm(y3.astype(x.dtype))
         y_fuse, y, y2 = jnp.split(y3, 3, axis=0)
 

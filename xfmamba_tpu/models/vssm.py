@@ -132,8 +132,11 @@ class VSSBlock(nn.Module):
                 or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
                 or jax.default_backend() == "cpu"):
             return None
+        from xfmamba_tpu.ops import vss_block_pallas as _vbp
         from xfmamba_tpu.ops.vss_block_pallas import (
             fused_vss_block_supported, pick_group, vss_block_fused)
+        if not _vbp.FUSED_INFERENCE:
+            return None
         B, H, W, d = x.shape
         di = int(self.ssm_ratio * d)
         hd = int(self.hidden_dim * self.mlp_ratio)

@@ -38,6 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# global kill switch for every fused inference path (megakernel + nk scan);
+# lets tests/debugging A/B the composable implementations on TPU
+FUSED_INFERENCE = True
+
 
 # ---------------------------------------------------------------------
 # in-kernel scan helpers (all pure functions of VMEM-resident values)
@@ -63,25 +67,32 @@ def _pair_hs(a, b, length, reverse):
     return a, b
 
 
-def _pair_hs_seg(a, b, W, wmod, reverse):
+def _shift0(x, off, reverse, use_roll):
+    """x shifted along axis 0 by `off` rows (towards higher indices when
+    forward).  With use_roll the vacated rows WRAP (pltpu.roll is ~3x
+    cheaper on TPU than a misaligned concatenate) — callers' segment masks
+    provably cover every wrapped row, because a wrapped row's within-segment
+    index always fails the same bound the segment edge does."""
+    if use_roll:
+        rows = x.shape[0]
+        return pltpu.roll(x, (rows - off) if reverse else off, 0)
+    if reverse:
+        return jnp.concatenate(
+            [x[off:], jnp.zeros((off, x.shape[1]), x.dtype)], axis=0)
+    return jnp.concatenate(
+        [jnp.zeros((off, x.shape[1]), x.dtype), x[:-off]], axis=0)
+
+
+def _pair_hs_seg(a, b, W, wmod, reverse, use_roll=False):
     """Hillis-Steele pair-scan along axis 0, confined to segments of length
     W (image rows of the flattened (L, C) map).  `wmod` is the (L, 1)
     within-row index; shifted-in values from another row are masked to the
     identity (1, 0)."""
     off = 1
     while off < W:
-        if reverse:
-            a_sh = jnp.concatenate(
-                [a[off:], jnp.ones((off, a.shape[1]), a.dtype)], axis=0)
-            b_sh = jnp.concatenate(
-                [b[off:], jnp.zeros((off, b.shape[1]), b.dtype)], axis=0)
-            m = (wmod + off) <= (W - 1)
-        else:
-            a_sh = jnp.concatenate(
-                [jnp.ones((off, a.shape[1]), a.dtype), a[:-off]], axis=0)
-            b_sh = jnp.concatenate(
-                [jnp.zeros((off, b.shape[1]), b.dtype), b[:-off]], axis=0)
-            m = wmod >= off
+        a_sh = _shift0(a, off, reverse, use_roll)
+        b_sh = _shift0(b, off, reverse, use_roll)
+        m = (wmod + off) <= (W - 1) if reverse else wmod >= off
         a_sh = jnp.where(m, a_sh, 1.0)
         b_sh = jnp.where(m, b_sh, 0.0)
         b = b + a * b_sh
@@ -90,7 +101,7 @@ def _pair_hs_seg(a, b, W, wmod, reverse):
     return a, b
 
 
-def _pair_hs_stride(a, b, stride, nsteps, lmod, L, reverse):
+def _pair_hs_stride(a, b, stride, nsteps, lmod, L, reverse, use_roll=False):
     """Hillis-Steele pair-scan along axis 0 with step `stride` (column
     traversals of the row-major map: vertical neighbours are `W` sublanes
     apart and columns never interleave).  `lmod` (rows, 1) is the
@@ -98,18 +109,9 @@ def _pair_hs_stride(a, b, stride, nsteps, lmod, L, reverse):
     to the identity."""
     off = stride
     while off < stride * nsteps:
-        if reverse:
-            a_sh = jnp.concatenate(
-                [a[off:], jnp.ones((off, a.shape[1]), a.dtype)], axis=0)
-            b_sh = jnp.concatenate(
-                [b[off:], jnp.zeros((off, b.shape[1]), b.dtype)], axis=0)
-            m = (lmod + off) <= (L - 1)
-        else:
-            a_sh = jnp.concatenate(
-                [jnp.ones((off, a.shape[1]), a.dtype), a[:-off]], axis=0)
-            b_sh = jnp.concatenate(
-                [jnp.zeros((off, b.shape[1]), b.dtype), b[:-off]], axis=0)
-            m = lmod >= off
+        a_sh = _shift0(a, off, reverse, use_roll)
+        b_sh = _shift0(b, off, reverse, use_roll)
+        m = (lmod + off) <= (L - 1) if reverse else lmod >= off
         a_sh = jnp.where(m, a_sh, 1.0)
         b_sh = jnp.where(m, b_sh, 0.0)
         b = b + a * b_sh
@@ -129,7 +131,7 @@ def _exclusive(x, smod, seg, reverse):
     return jnp.where(smod == 0, 0.0, sh)
 
 
-def _scan_direction(a, b, H, W, G, kind):
+def _scan_direction(a, b, H, W, G, kind, use_roll=False):
     """Full inclusive pair-scan of (a, b) over G stacked flattened (L=H*W, C)
     maps (each image scanned independently) for one cross2d traversal.
     kind: row_f | row_r | col_f | col_r.  Returns h (G*L, C) f32 — the
@@ -145,10 +147,18 @@ def _scan_direction(a, b, H, W, G, kind):
     row_l = jax.lax.broadcasted_iota(jnp.int32, (Lg, 1), 0)
     lmod = row_l % L
 
+    if kind in ("flat_f", "flat_r"):
+        # plain flattened-L scan per image (the reference's 1-D selective
+        # scan, e.g. the K=2 swap-scan of ShallowFuse): single-level masked
+        # HS — the lmod mask confines flow to each image
+        _, b1 = _pair_hs_stride(a, b, 1, L, lmod, L, kind == "flat_r",
+                                use_roll)
+        return b1
+
     if kind in ("row_f", "row_r"):
         rev = kind == "row_r"
         wmod = row_l % W
-        a1, b1 = _pair_hs_seg(a, b, W, wmod, rev)
+        a1, b1 = _pair_hs_seg(a, b, W, wmod, rev, use_roll)
         # row states live at the row's exit position (w=W-1 fwd / w=0 rev)
         exit_w = 0 if rev else W - 1
         GH = G * H
@@ -158,7 +168,7 @@ def _scan_direction(a, b, H, W, G, kind):
         A_r = jax.lax.dot(sel, a1, preferred_element_type=f32)  # (GH, C)
         B_r = jax.lax.dot(sel, b1, preferred_element_type=f32)
         hmod = jax.lax.broadcasted_iota(jnp.int32, (GH, 1), 0) % H
-        A_s, B_s = _pair_hs_seg(A_r, B_r, H, hmod, rev)
+        A_s, B_s = _pair_hs_seg(A_r, B_r, H, hmod, rev)  # small level-2
         carry = _exclusive(B_s, hmod, H, rev)                   # (GH, C)
         rows_l = jax.lax.broadcasted_iota(jnp.int32, (Lg, GH), 0)
         cols_l = jax.lax.broadcasted_iota(jnp.int32, (Lg, GH), 1)
@@ -167,7 +177,7 @@ def _scan_direction(a, b, H, W, G, kind):
         return b1 + a1 * cpos
 
     rev = kind == "col_r"
-    a1, b1 = _pair_hs_stride(a, b, W, H, lmod, L, rev)
+    a1, b1 = _pair_hs_stride(a, b, W, H, lmod, L, rev, use_roll)
     # column states: bottom row (fwd) / top row (rev) of each image
     GW = G * W
     exit_h = 0 if rev else H - 1
@@ -190,10 +200,20 @@ def _scan_direction(a, b, H, W, G, kind):
 _DIR_KINDS = ("row_f", "col_f", "row_r", "col_r")  # cross2d k=0..3 order
 
 
-def _layer_norm(x, scale, bias, eps=1e-5):
-    mu = jnp.mean(x, axis=1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+def _layer_norm(x, scale, bias, eps=1e-5, use_mxu=False):
+    if use_mxu:
+        # lane reductions on big maps are VPU-slow; a dot against a ones
+        # column computes the same sums on the (otherwise idle) MXU
+        n = x.shape[1]
+        ones = jnp.ones((n, 1), jnp.float32)
+        mu = jax.lax.dot(x, ones, preferred_element_type=jnp.float32) / n
+        xc = x - mu
+        var = jax.lax.dot(xc * xc, ones,
+                          preferred_element_type=jnp.float32) / n
+    else:
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, axis=1, keepdims=True)
     return xc * jax.lax.rsqrt(var + eps) * scale + bias
 
 
@@ -215,6 +235,7 @@ def _gelu_exact(x):
 # ---------------------------------------------------------------------
 
 def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
+                      use_roll,
                       x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
                       w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
                       lno_ref, w_out_ref, ln2_ref,
@@ -226,7 +247,7 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
 
     x = x_ref[0].astype(f32)                                    # (Lg, d)
     h1 = _layer_norm(x, ln1_ref[0:1, :].astype(f32),
-                     ln1_ref[1:2, :].astype(f32))
+                     ln1_ref[1:2, :].astype(f32), use_mxu=use_roll)
     xin = jax.lax.dot(h1.astype(mm_dtype), w_in_ref[...],
                       preferred_element_type=f32)               # (Lg, di)
 
@@ -242,11 +263,9 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
         for j in range(3):
             off = (i - 1) * W + (j - 1)
             if off > 0:
-                sh = jnp.concatenate(
-                    [xin[off:], jnp.zeros((off, xin.shape[1]), f32)], axis=0)
+                sh = _shift0(xin, off, True, use_roll)
             elif off < 0:
-                sh = jnp.concatenate(
-                    [jnp.zeros((-off, xin.shape[1]), f32), xin[:off]], axis=0)
+                sh = _shift0(xin, -off, False, use_roll)
             else:
                 sh = xin
             if j == 0:
@@ -282,18 +301,18 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
                               u.shape)
         a = jnp.exp(dt * A_ref[k:k + 1, :].astype(f32))
         b = dt * u * Bk
-        h = _scan_direction(a, b, H, W, G, _DIR_KINDS[k])
+        h = _scan_direction(a, b, H, W, G, _DIR_KINDS[k], use_roll)
         y_acc = y_acc + Ck * h
 
     y = _layer_norm(y_acc, lno_ref[0:1, :].astype(f32),
-                    lno_ref[1:2, :].astype(f32))
+                    lno_ref[1:2, :].astype(f32), use_mxu=use_roll)
     out = jax.lax.dot(y.astype(mm_dtype), w_out_ref[...],
                       preferred_element_type=f32)               # (L, d)
     res = x + out
 
     if fuse_mlp:
         h2 = _layer_norm(res, ln2_ref[0:1, :].astype(f32),
-                         ln2_ref[1:2, :].astype(f32))
+                         ln2_ref[1:2, :].astype(f32), use_mxu=use_roll)
         f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1_ref[...],
                          preferred_element_type=f32)
         f1 = _gelu_exact(f1 + b_fc1_ref[...].astype(f32))
@@ -306,19 +325,22 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
-                                              "vmem_mb", "group"))
+                                              "vmem_mb", "group",
+                                              "use_roll"))
 def _vss_block_call(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
                     lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                     H, W, conv_bias, fuse_mlp, interpret=False, vmem_mb=64,
-                    group=1):
+                    group=1, use_roll=None):
     B, L, d = x.shape
     R = w_dt.shape[0] // 4
     mm_dtype = w_in.dtype
     G = group if B % group == 0 else 1
     x = x.reshape(B // G, G * L, d)
+    if use_roll is None:
+        use_roll = not interpret
     kernel = functools.partial(
         _vss_block_kernel, H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-        x.dtype)
+        x.dtype, use_roll)
     blk_x = pl.BlockSpec((1, G * L, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -545,14 +567,127 @@ def fused_vss_block_supported(H, W, d, di, hd, fuse_mlp=True,
     return _vmem_estimate(H, W, d, di, hd, 1, fuse_mlp) < budget_bytes
 
 
-def pick_group(B, H, W, d, di, hd, fuse_mlp=True, target_rows=2048,
+def pick_group(B, H, W, d, di, hd, fuse_mlp=True,
                budget_bytes=_VMEM_BUDGET):
-    """Images per grid step: the largest divisor of B whose stacked map
-    keeps the matmul M-dimension near `target_rows` and fits VMEM."""
+    """Images per grid step.  Measured on v5e (chained 50-step timings per
+    block, bs 32): large maps want G=1 (the map already fills the MXU M
+    dimension and VMEM pressure hurts), L=196 wants G=2, L<=64 wants G=4;
+    beyond that the working set outgrows VMEM bandwidth."""
     L = H * W
-    for G in (16, 8, 4, 2, 1):
-        if B % G or G * L > max(target_rows, L):
+    if L <= 64:
+        prefs = (4, 2, 1)
+    elif L <= 256:
+        prefs = (2, 1)
+    else:
+        prefs = (1,)
+    for G in prefs:
+        if B % G:
             continue
         if _vmem_estimate(H, W, d, di, hd, G, fuse_mlp) < budget_bytes:
             return G
     return 1
+
+
+# ---------------------------------------------------------------------
+# whole-map multi-state scan (the fusion ops: Cross_SS2Dv5, ShallowFuse)
+# ---------------------------------------------------------------------
+
+def _nk_scan_kernel(H, W, G, K, N, kinds, use_roll, out_dtype,
+                    u_ref, dts_ref, Bs_ref, Cs_ref,
+                    A_ref, Dsum_ref, bias_ref, y_ref):
+    """One grid step: G stacked maps, all K directions x N state dims.
+
+    The d_state>1 fusion scans are VPU-bound (N multiplies the recurrence
+    work); this kernel removes the B*K*N-step grid and XLA glue of the
+    grouped kernel (`selective_scan_pallas.py`) — each (k, n) runs as a
+    two-level whole-map scan over VMEM-resident data."""
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)                                    # (Lg, D)
+    D = u.shape[1]
+    y = u * Dsum_ref[...].astype(f32)
+    for k in range(K):
+        dt = dts_ref[0][:, k * D:(k + 1) * D].astype(f32)
+        dt = jax.nn.softplus(dt + bias_ref[k:k + 1, :].astype(f32))
+        dtu = dt * u
+        for n in range(N):
+            a_row = A_ref[k * N + n:k * N + n + 1, :].astype(f32)  # (1, D)
+            Bkn = Bs_ref[0][:, k * N + n:k * N + n + 1].astype(f32)
+            Ckn = Cs_ref[0][:, k * N + n:k * N + n + 1].astype(f32)
+            a = jnp.exp(dt * a_row)
+            b = dtu * Bkn
+            h = _scan_direction(a, b, H, W, G, kinds[k], use_roll)
+            y = y + Ckn * h
+    y_ref[0] = y.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "kinds", "group",
+                                              "interpret", "vmem_mb"))
+def nk_scan_call(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds, group=1,
+                 interpret=False, vmem_mb=100):
+    """Whole-map selective scan for K direction groups and N state dims.
+
+    u (B, L, D); dts (B, L, K*D); Bs/Cs (B, L, K*N); A (K*N, D) rows in
+    (k, n) order; Dvec (K, D); bias (K, D).  kinds: per-k traversal, e.g.
+    ("row_f", "col_f", "row_r", "col_r") for cross2d or ("flat_f",)*K for
+    flat scans.  Returns y (B, L, D) = sum_k [C_k h_k] + u * sum_k D_k in
+    u.dtype (fp32 recurrence inside)."""
+    B, L, D = u.shape
+    K = len(kinds)
+    N = A.shape[0] // K
+    G = group if B % group == 0 else 1
+    Lg = G * L
+    Dsum = Dvec.astype(jnp.float32).sum(axis=0, keepdims=True)
+    kernel = functools.partial(_nk_scan_kernel, H, W, G, K, N, kinds,
+                               not interpret, u.dtype)
+    blk = lambda c: pl.BlockSpec((1, Lg, c), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[blk(D), blk(K * D), blk(K * N), blk(K * N),
+                  full, full, full],
+        out_specs=blk(D),
+        out_shape=jax.ShapeDtypeStruct((B // G, Lg, D), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(u.reshape(B // G, Lg, D), dts.reshape(B // G, Lg, K * D),
+      Bs.reshape(B // G, Lg, K * N), Cs.reshape(B // G, Lg, K * N),
+      A, Dsum, bias.astype(jnp.float32))
+    return y.reshape(B, L, D)
+
+
+def nk_scan_from_projs(x, dts, Bs, Cs, A, Dmat, bias, scan_mode="cross2d",
+                       group=None, interpret=False):
+    """Drop-in for `ss2d_core_from_projs` (inference): x (B, H, W, D);
+    dts (B, H, W, K, D); Bs/Cs (B, H, W, K, N); A (K, D, N); Dmat/bias
+    (K, D).  Returns (B, H, W, D) f32."""
+    B, H, W, D = x.shape
+    K = A.shape[0]
+    N = A.shape[-1]
+    L = H * W
+    if scan_mode == "cross2d":
+        kinds = ("row_f", "col_f", "row_r", "col_r")
+    elif scan_mode == "unidi":
+        # flat row-major scan == row_f (the level-2 chain crosses rows)
+        kinds = ("row_f",) * K
+    elif scan_mode == "bidi":
+        kinds = ("row_f", "row_f", "row_r", "row_r")
+    else:
+        raise ValueError(scan_mode)
+    if group is None:
+        group = 1
+        for g in (8, 4, 2):
+            if B % g == 0 and g * L <= 4096:
+                group = g
+                break
+    u = x.reshape(B, L, D)
+    dts_p = dts.reshape(B, L, K * D)
+    Bs_p = Bs.reshape(B, L, K * N)
+    Cs_p = Cs.reshape(B, L, K * N)
+    # A rows to (k*N+n, D)
+    A_p = jnp.swapaxes(A.astype(jnp.float32), 1, 2).reshape(K * N, D)
+    y = nk_scan_call(u, dts_p, Bs_p, Cs_p, A_p, Dmat, bias, H, W, kinds,
+                     group=group, interpret=interpret)
+    return y.astype(jnp.float32).reshape(B, H, W, D)
