@@ -120,3 +120,39 @@ def test_parallel_train_step_runs():
     state, out = pstep(state, batch, jax.random.key(1),
                        jnp.asarray(cfg.lr, jnp.float32))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_parallel_infer_matches_single_device():
+    """shard_map inference on an 8-device mesh == single-device forward.
+
+    This is the multi-chip path that keeps the fused Pallas kernels
+    per-shard (SURVEY.md §2.10's DP obligation, inference side)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from xfmamba_tpu.models.tops import TwoViewXFMamba
+    from xfmamba_tpu.parallel.mesh import (
+        make_mesh, make_parallel_infer, replicated, shard_batch)
+
+    model = TwoViewXFMamba(outputs=2, model_type="tiny", hidden_dim=128,
+                           d_state=4,
+                           backbone_overrides=dict(depths=(1, 1, 1, 1),
+                                                   dims=16))
+    bs = 8
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (bs, 32, 32, 1))
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (bs, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x1[:1], x2[:1])
+
+    y_single = model.apply(variables, x1, x2)
+
+    mesh = make_mesh(8)
+
+    def infer(params, batch):
+        return model.apply(params, batch["image1"], batch["image2"])
+
+    pinfer = make_parallel_infer(infer, mesh)
+    params = jax.device_put(variables, replicated(mesh))
+    batch = shard_batch({"image1": x1, "image2": x2}, mesh)
+    y_par = pinfer(params, batch)
+    np.testing.assert_allclose(np.asarray(y_par), np.asarray(y_single),
+                               rtol=2e-5, atol=2e-5)

@@ -127,7 +127,7 @@ class VSSBlock(nn.Module):
         if self.is_initializing() or not deterministic:
             return None
         if (self.forward_type != "v05_noz" or self.ssm_d_state != 1
-                or self.ssm_ratio != 2.0 or self.ssm_act != "silu"
+                or self.ssm_ratio <= 0 or self.ssm_act != "silu"
                 or self.ssm_conv != 3 or self.post_norm or self.gmlp
                 or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
                 or jax.default_backend() == "cpu"):

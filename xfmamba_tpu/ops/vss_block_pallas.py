@@ -329,7 +329,7 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
                                               "use_roll"))
 def _vss_block_call(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
                     lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
-                    H, W, conv_bias, fuse_mlp, interpret=False, vmem_mb=64,
+                    H, W, conv_bias, fuse_mlp, interpret=False, vmem_mb=100,
                     group=1, use_roll=None):
     B, L, d = x.shape
     R = w_dt.shape[0] // 4

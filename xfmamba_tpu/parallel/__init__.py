@@ -4,4 +4,5 @@ from xfmamba_tpu.parallel.mesh import (
     replicated,
     shard_batch,
     make_parallel_train_step,
+    make_parallel_infer,
 )

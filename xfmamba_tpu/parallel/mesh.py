@@ -53,3 +53,26 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
         in_shardings=(repl, bsh, repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_parallel_infer(infer_fn, mesh: Mesh, axis: str = "data"):
+    """Wrap an inference fn ``(params_pytree, batch_pytree) -> outputs``
+    (every output leaf batch-leading) for the mesh with ``shard_map``:
+    params replicated, batch split on its leading axis.
+
+    Unlike the GSPMD train-step formulation, shard_map hands each device
+    its *local* batch shard, so the fused Pallas inference kernels
+    (`ops/vss_block_pallas.py`) run per-shard instead of degrading to a
+    replicated custom call — this is the supported way to run fused
+    inference on a multi-chip mesh.  Losses/metrics are host-side
+    reductions over the gathered outputs (matching the single-device
+    driver)."""
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        infer_fn, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
