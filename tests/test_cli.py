@@ -54,6 +54,7 @@ def test_model_name_dispatch():
         build_model_by_name("nope", 2)
 
 
+@pytest.mark.slow
 def test_train_and_infer_cli(mura_tree, tmp_path):
     root, img_csv, lbl_csv = mura_tree
     save_dir = str(tmp_path / "run")
@@ -90,6 +91,7 @@ def test_train_and_infer_cli(mura_tree, tmp_path):
     assert cams["cam_a"].shape[1:] == (32, 32)
 
 
+@pytest.mark.slow
 def test_cal_flops_cli(mura_tree, tmp_path):
     root, img_csv, lbl_csv = mura_tree
     out = infer_mura_main([

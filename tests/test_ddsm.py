@@ -86,6 +86,7 @@ def test_ddsm_loaders(ddsm_tree):
     assert set(np.unique(batch["label"])) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_ddsm_infer_cli(ddsm_tree, tmp_path):
     from xfmamba_tpu.cli.infer_ddsm import main as infer_main
     base, meta, case = ddsm_tree

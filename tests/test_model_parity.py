@@ -20,8 +20,11 @@ from xfmamba_tpu.models.vssm import VSSM
 from xfmamba_tpu.models.fusion import CSSFVSSLayer, ShallowFusionBlock
 from xfmamba_tpu.models.tops import TwoViewXFMamba
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference not mounted")
+pytestmark = [
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference not mounted"),
+    pytest.mark.slow,
+]
 
 
 def _sd(model):
@@ -187,6 +190,36 @@ def test_two_view_xfmamba_tiny_parity():
     rng = np.random.default_rng(5)
     x1 = rng.standard_normal((1, 1, 64, 64)).astype(np.float32)
     x2 = rng.standard_normal((1, 1, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        r = ref(torch.tensor(x1), torch.tensor(x2)).numpy()
+
+    variables = ours.init(jax.random.key(0), _nhwc(x1), _nhwc(x2))
+    conv = convert_xfmamba_state_dict(_sd(ref))
+    verify_tree_matches(conv["params"], variables["params"])
+    verify_tree_matches(conv["batch_stats"], variables["batch_stats"])
+    y = ours.apply(conv, _nhwc(x1), _nhwc(x2))
+    np.testing.assert_allclose(np.asarray(y), r, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_view_xfmamba_small_flagship_parity():
+    """Golden logit parity at the REAL flagship config: XFMamba-S
+    (`net_fusionmamba.py:141` type='small' -> Backbone_VSSM depths
+    [2,2,15,2], dims 96, mlp_ratio 2, v05_noz; fusion d_state 16) at
+    224x224 — the exact geometry `bench.py` measures and the BASELINE
+    north-star names."""
+    torch = pytest.importorskip("torch")
+    ref_net = load_reference_module("net_fusionmamba")
+    torch.manual_seed(6)
+    ref = ref_net.TwoViewXFMambaTop(in_channels=1, outputs=2,
+                                    type="small").eval()
+
+    from xfmamba_tpu.models.tops import two_view_xfmamba
+    ours = two_view_xfmamba("small", outputs=2)
+
+    rng = np.random.default_rng(6)
+    x1 = rng.standard_normal((1, 1, 224, 224)).astype(np.float32)
+    x2 = rng.standard_normal((1, 1, 224, 224)).astype(np.float32)
     with torch.no_grad():
         r = ref(torch.tensor(x1), torch.tensor(x2)).numpy()
 

@@ -10,6 +10,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xfmamba_tpu.checkpoint.io import load_npz
 from xfmamba_tpu.models.vssm import VSSM
@@ -151,6 +152,7 @@ def test_mutual_grads_match_per_model_backward():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mutual_step_data_parallel_mesh():
     """The BASELINE multi-model sweep workload (SURVEY.md §2.10): the fused
     mutual-learning step jitted over an 8-device data-parallel mesh —

@@ -1,0 +1,94 @@
+"""Numerical coverage for the whole-map multi-state kernel plumbing
+(`ops/vss_block_pallas.py:nk_scan_call` / `nk_scan_from_projs`) — the
+TPU-only inference replacement for the grouped scan inside CrossSS2Dv5 and
+ShallowFuseSS2Dv4 (`models/fusion.py`).
+
+Oracle strategy per SURVEY.md §4: fast kernel (interpret mode on CPU) vs the
+composable `ss2d_core_from_projs` / `selective_scan` path, which is itself
+golden-tested against the PyTorch reference.  Covers the A row ordering,
+per-k dt/Bs/Cs slicing, Dsum accumulation, and the group-reshape path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xfmamba_tpu.models.ss2d import ss2d_core_from_projs
+from xfmamba_tpu.ops.selective_scan import selective_scan
+from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call, nk_scan_from_projs
+
+pytestmark = pytest.mark.slow
+
+
+def _projs(seed, B, H, W, D, K, N):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (B, H, W, D), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, H, W, K, D), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, H, W, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, H, W, K, N), jnp.float32)
+    A = -jnp.exp(0.5 * jax.random.normal(ks[4], (K, D, N), jnp.float32))
+    Dmat = jax.random.normal(ks[5], (K, D), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[6], (K, D), jnp.float32)
+    return x, dts, Bs, Cs, A, Dmat, bias
+
+
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi", "bidi"])
+def test_nk_scan_from_projs_matches_composable(scan_mode):
+    B, H, W, D, K, N = 2, 6, 8, 16, 4, 4
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(0, B, H, W, D, K, N)
+    y_ref = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                 scan_mode=scan_mode,
+                                 scan_impl=selective_scan)
+    y_k = nk_scan_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                             scan_mode=scan_mode, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_nk_scan_group_reshape(group):
+    """The G-image stacking path must not leak state across stacked maps."""
+    B, H, W, D, K, N = 4, 4, 6, 8, 4, 2
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(1, B, H, W, D, K, N)
+    y_ref = nk_scan_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                               scan_mode="cross2d", group=1, interpret=True)
+    y_g = nk_scan_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                             scan_mode="cross2d", group=group,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nk_scan_shallowfuse_pattern():
+    """The ShallowFuseSS2Dv4 per-k call pattern (`models/fusion.py`):
+    K=2 flat forward scans over the flattened map, one nk_scan_call per
+    group, vs the composable selective_scan oracle over the stacked input."""
+    B, H, W, d_inner, N = 2, 4, 8, 12, 4
+    K = 2
+    L = H * W
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    u = jax.random.normal(ks[0], (B, L, K * d_inner), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, L, K * d_inner), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, L, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, L, K, N), jnp.float32)
+    A_logs = 0.5 * jax.random.normal(ks[4], (K * d_inner, N), jnp.float32)
+    A2 = -jnp.exp(A_logs)
+    Ds = jax.random.normal(ks[5], (K * d_inner,), jnp.float32)
+    bias = 0.1 * jnp.arange(K * d_inner, dtype=jnp.float32).reshape(K,
+                                                                    d_inner)
+
+    y_ref = selective_scan(u, dts, A2, Bs, Cs, Ds,
+                           bias.reshape(-1), delta_softplus=True)
+
+    ys = []
+    for k in range(K):
+        sl = slice(k * d_inner, (k + 1) * d_inner)
+        ys.append(nk_scan_call(
+            u[..., sl], dts[..., sl], Bs[:, :, k], Cs[:, :, k],
+            jnp.swapaxes(A2[sl], 0, 1), Ds[sl].reshape(1, -1),
+            bias[k].reshape(1, -1), H, W, ("row_f",), group=2,
+            interpret=True))
+    y_k = jnp.concatenate(ys, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from xfmamba_tpu.models.ss2d import ss2d_core_from_projs
 from xfmamba_tpu.ops.selective_scan_pallas import _core_pallas_fwd_impl
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("B,H,W,D,N,chunk", [
     (2, 6, 5, 16, 1, None),       # single chunk

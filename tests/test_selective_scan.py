@@ -16,6 +16,8 @@ from xfmamba_tpu.ops.selective_scan import (
 
 from reference_oracle import reference_available, load_reference_module
 
+pytestmark = pytest.mark.slow
+
 
 def make_inputs(rng, Bsz, K, C, N, L, dtype=np.float32, with_D=True,
                 with_bias=True):

@@ -12,6 +12,8 @@ import pytest
 
 from xfmamba_tpu.models.fusion import CrossSS2Dv2, CrossSS2Dv3
 from xfmamba_tpu.models.ss2d import SS2D, parse_xv_type
+
+pytestmark = pytest.mark.slow
 from xfmamba_tpu.models.vssm import (
     VSSM, vmamba_base_m2, vmamba_small_m2, vmamba_tiny_m2)
 

@@ -54,6 +54,7 @@ def tiny_model(**kw):
         backbone_overrides=dict(depths=(1, 1, 1, 1), dims=16), **kw)
 
 
+@pytest.mark.slow
 def test_fit_loss_decreases(tmp_path):
     cfg = TrainConfig(lr=1e-3, epochs=4, patience=10, log_every=0,
                       savemodel_path=str(tmp_path))
@@ -101,6 +102,7 @@ def test_roc_auc_matches_sklearn():
     assert abs(M.roc_auc(y, s) - sk.roc_auc_score(y, s)) < 1e-12
 
 
+@pytest.mark.slow
 def test_parallel_train_step_runs():
     from xfmamba_tpu.parallel.mesh import (
         make_mesh, make_parallel_train_step, replicated, shard_batch)
@@ -122,6 +124,7 @@ def test_parallel_train_step_runs():
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_parallel_infer_matches_single_device():
     """shard_map inference on an 8-device mesh == single-device forward.
 

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xfmamba_tpu.models.tops import TwoViewXFMamba
 from xfmamba_tpu.train.loop import mixup
@@ -49,6 +50,7 @@ def test_count_params():
     assert count_params(tree) == 10
 
 
+@pytest.mark.slow
 def test_model_flops_and_params():
     model, (x1, x2) = _tiny_model()
     variables = _init_vars(model, x1, x2)
@@ -70,6 +72,7 @@ def test_do_bench_and_timing_stats():
     assert "FPS" in report and "20.000 ms" in report
 
 
+@pytest.mark.slow
 def test_grad_cam_two_view():
     model, (x1, x2) = _tiny_model()
     variables = _init_vars(model, x1, x2)
@@ -81,6 +84,7 @@ def test_grad_cam_two_view():
         assert arr.min() >= 0.0 and arr.max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_input_saliency_and_overlay():
     model, (x1, x2) = _tiny_model()
     variables = _init_vars(model, x1, x2)

@@ -16,6 +16,8 @@ from xfmamba_tpu.ops.vss_block_pallas import (
     _vss_block_call, fused_vss_block_supported, pack_vss_block_params,
     vss_block_fused, vss_block_ref)
 
+pytestmark = pytest.mark.slow
+
 
 def _make_block(d, H, W, conv_bias, mlp_ratio, seed=0):
     blk = VSSBlock(hidden_dim=d, drop_path=0.0, ssm_d_state=1, ssm_ratio=2.0,

@@ -57,6 +57,11 @@ class TwoViewLoader:
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-host data sharding (`parallel.distributed`): when set (a
+        # `slice`), every process builds the same global batch order (same
+        # seed) and this process decodes only its slice of each batch.
+        # Use with drop_last=True so every local shard is full-size.
+        self.process_slice: Optional[slice] = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -76,7 +81,14 @@ class TwoViewLoader:
             if self.drop_last and len(b) < self.batch_size:
                 break
             batches.append(b)
+        if self.process_slice is not None:
+            batches = [b[self.process_slice] for b in batches]
         return batches
+
+    def _target_batch_size(self) -> int:
+        if self.process_slice is None:
+            return self.batch_size
+        return len(range(*self.process_slice.indices(self.batch_size)))
 
     def _make_batch(self, b: np.ndarray, base_seed: int) -> Dict:
         n_valid = len(b)
@@ -90,8 +102,9 @@ class TwoViewLoader:
         img1 = np.stack(outs1)
         img2 = np.stack(outs2)
         label = np.asarray(labels)
-        if self.pad_to_batch and n_valid < self.batch_size:
-            pad = self.batch_size - n_valid
+        target = self._target_batch_size()
+        if self.pad_to_batch and n_valid < target:
+            pad = target - n_valid
             img1 = np.concatenate(
                 [img1, np.zeros((pad,) + img1.shape[1:], img1.dtype)])
             img2 = np.concatenate(

@@ -183,7 +183,8 @@ class ShallowFuseSS2Dv4(nn.Module):
                     Ds[sl].reshape(1, -1),
                     dt_projs_bias[k].reshape(1, -1),
                     H, W, ("row_f",),
-                    group=max(g for g in (8, 4, 2, 1) if B % g == 0)))
+                    group=max([g for g in (8, 4, 2, 1)
+                               if B % g == 0 and g * L <= 4096] or [1])))
             ys = jnp.concatenate(ys, axis=-1)
         else:
             scan_impl = self.scan_impl
@@ -360,6 +361,7 @@ class CrossSS2Dv5(nn.Module):
         if (deterministic and jax.default_backend() != "cpu"
                 and _vbp.FUSED_INFERENCE
                 and self.scan_backend in ("auto", "pallas")
+                and self.scan_impl is selective_scan
                 and self.scan_mode in ("cross2d", "unidi", "bidi")):
             # inference: whole-map multi-state kernel (one grid step per
             # G-image group instead of B*K*N grouped-kernel steps)

@@ -67,12 +67,10 @@ def make_parallel_infer(infer_fn, mesh: Mesh, axis: str = "data"):
     inference on a multi-chip mesh.  Losses/metrics are host-side
     reductions over the gathered outputs (matching the single-device
     driver)."""
-    from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(
+    sharded = jax.shard_map(
         infer_fn, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
