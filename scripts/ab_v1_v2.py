@@ -49,6 +49,22 @@ def main():
                 line += f" | v2 G={G} {t2*1e3:7.3f}"
             except Exception as e:
                 line += f" | v2 G={G} FAIL({type(e).__name__})"
+        # pre-interleaved (stage-hoisted layout): isolates transpose cost
+        from xfmamba_tpu.ops.vss_block_pallas_v2 import _interleave
+        for G in ({"stage0": (1, 2), "stage1": (2, 4), "stage2": (4, 8),
+                   "stage3": (8,)}[name]):
+            if B % G:
+                continue
+            xi = _interleave(xl, G)
+            try:
+                t3 = chain_time(
+                    lambda xx, G=G: _vss_block_call_v2(
+                        xx, *args, H=H, W=W, conv_bias=False,
+                        fuse_mlp=True, group=G, interleaved=True),
+                    (xi,), k_long=40)
+                line += f" | v2i G={G} {t3*1e3:7.3f}"
+            except Exception as e:
+                line += f" | v2i G={G} FAIL({type(e).__name__})"
         print(line, flush=True)
 
 

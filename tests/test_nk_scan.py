@@ -92,3 +92,53 @@ def test_nk_scan_shallowfuse_pattern():
     y_k = jnp.concatenate(ys, axis=-1)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi", "bidi"])
+def test_nk_scan_v2_matches_composable(scan_mode):
+    """Serial-scan nk kernel (`vss_block_pallas_v2.nk_scan_from_projs_v2`)
+    vs the composable oracle, multi-state (N=4), G=2 interleaved."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_from_projs_v2
+    B, H, W, D, K, N = 2, 4, 8, 16, 4, 4
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(3, B, H, W, D, K, N)
+    y_ref = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                 scan_mode=scan_mode,
+                                 scan_impl=selective_scan)
+    y_k = nk_scan_from_projs_v2(x, dts, Bs, Cs, A, Dmat, bias,
+                                scan_mode=scan_mode, group=2,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_nk_scan_v2_shallowfuse_pattern():
+    """K=1 flat forward chains (the ShallowFuse per-k call) via the v2
+    serial kernel vs the selective_scan oracle."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_call_v2
+    B, H, W, d_inner, N = 2, 4, 8, 12, 4
+    K = 2
+    L = H * W
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    u = jax.random.normal(ks[0], (B, L, K * d_inner), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, L, K * d_inner), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, L, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, L, K, N), jnp.float32)
+    A2 = -jnp.exp(0.5 * jax.random.normal(ks[4], (K * d_inner, N),
+                                          jnp.float32))
+    Ds = jax.random.normal(ks[5], (K * d_inner,), jnp.float32)
+    bias = 0.1 * jnp.arange(K * d_inner,
+                            dtype=jnp.float32).reshape(K, d_inner)
+
+    y_ref = selective_scan(u, dts, A2, Bs, Cs, Ds,
+                           bias.reshape(-1), delta_softplus=True)
+    ys = []
+    for k in range(K):
+        sl = slice(k * d_inner, (k + 1) * d_inner)
+        ys.append(nk_scan_call_v2(
+            u[..., sl], dts[..., sl], Bs[:, :, k], Cs[:, :, k],
+            jnp.swapaxes(A2[sl], 0, 1), Ds[sl].reshape(1, -1),
+            bias[k].reshape(1, -1), H, W, ("row_f",), group=2,
+            interpret=True))
+    y_k = jnp.concatenate(ys, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)

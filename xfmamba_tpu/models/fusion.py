@@ -171,20 +171,24 @@ class ShallowFuseSS2Dv4(nn.Module):
             # forward over flattened L (`fusion_vmamba.py:831-833`).  The
             # K*D channel layout maps to kernel D with K folded into
             # lanes: treat as K groups of D channels via one call per k.
+            from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
             from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call
+            group = max([g for g in (8, 4, 2, 1)
+                         if B % g == 0 and g * L <= 4096] or [1])
+            scan_call = (_v2.nk_scan_call_v2
+                         if _v2.FUSED_V2 and (L * group) % 8 == 0
+                         and (W * group) % 8 == 0 else nk_scan_call)
             A2 = -jnp.exp(A_logs.astype(jnp.float32))     # (K*D, N)
             ys = []
             for k in range(K):
                 sl = slice(k * d_inner, (k + 1) * d_inner)
-                ys.append(nk_scan_call(
+                ys.append(scan_call(
                     u[..., sl], dts.reshape(B, L, K * d_inner)[..., sl],
                     Bs[:, :, k], Cs[:, :, k],
                     jnp.swapaxes(A2[sl], 0, 1),           # (N, D)
                     Ds[sl].reshape(1, -1),
                     dt_projs_bias[k].reshape(1, -1),
-                    H, W, ("row_f",),
-                    group=max([g for g in (8, 4, 2, 1)
-                               if B % g == 0 and g * L <= 4096] or [1])))
+                    H, W, ("row_f",), group=group))
             ys = jnp.concatenate(ys, axis=-1)
         else:
             scan_impl = self.scan_impl
@@ -364,10 +368,20 @@ class CrossSS2Dv5(nn.Module):
                 and self.scan_impl is selective_scan
                 and self.scan_mode in ("cross2d", "unidi", "bidi")):
             # inference: whole-map multi-state kernel (one grid step per
-            # G-image group instead of B*K*N grouped-kernel steps)
+            # G-image group instead of B*K*N grouped-kernel steps); serial
+            # v2 when the interleaved alignment holds
+            from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
             from xfmamba_tpu.ops.vss_block_pallas import nk_scan_from_projs
-            y3 = nk_scan_from_projs(xcat, dts_c, Bs_c, Cs_sub, A, Dmat,
-                                    bias, scan_mode=self.scan_mode)
+            Hc, Wc = xcat.shape[1], xcat.shape[2]
+            if _v2.FUSED_V2 and any(
+                    xcat.shape[0] % g == 0 and (Hc * Wc * g) % 8 == 0
+                    and (Wc * g) % 8 == 0 for g in (8, 4, 2)):
+                y3 = _v2.nk_scan_from_projs_v2(xcat, dts_c, Bs_c, Cs_sub,
+                                               A, Dmat, bias,
+                                               scan_mode=self.scan_mode)
+            else:
+                y3 = nk_scan_from_projs(xcat, dts_c, Bs_c, Cs_sub, A, Dmat,
+                                        bias, scan_mode=self.scan_mode)
         else:
             y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
                                scan_mode=self.scan_mode,

@@ -147,9 +147,66 @@ class VSSBlock(nn.Module):
         if "bias" in p["op"]["in_proj"] or "out_norm" not in p["op"] \
                 or "norm" not in p["op"]["out_norm"]:
             return None
+        from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
+        if _v2.FUSED_V2:
+            g2 = _v2.pick_group_v2(B, H, W, d, di, hd, fuse_mlp)
+            if g2 is not None:
+                y = _v2.vss_block_fused_v2(x.reshape(B, H * W, d), p, H, W,
+                                           self.ssm_conv_bias, fuse_mlp, g2)
+                return y.reshape(B, H, W, d)
         g = pick_group(B, H, W, d, di, hd, fuse_mlp)
         y = vss_block_fused(x.reshape(B, H * W, d), p, H, W,
                             self.ssm_conv_bias, fuse_mlp, g)
+        return y.reshape(B, H, W, d)
+
+    def _fused_train_path(self, x):
+        """Fused TRAINING step for the SS2D half: v2 megakernel forward
+        with the drop-path keep mask + the block-level adjoint kernel
+        backward (`ops/vss_block_v2_adjoint.py`).  The MLP half stays
+        composable — its fwd/bwd is pure MXU matmul work that XLA already
+        runs at roofline, and fusing its weight-grad accumulators would
+        blow the VMEM budget at stage-3 geometry.  Returns the SS2D-half
+        output (x + droppath(SS2D(LN(x)))) or None when not applicable."""
+        if self.is_initializing():
+            return None
+        if (self.forward_type != "v05_noz" or self.ssm_d_state != 1
+                or self.ssm_ratio <= 0 or self.ssm_act != "silu"
+                or self.ssm_conv != 3 or self.post_norm or self.gmlp
+                or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
+                or self.ssm_drop_rate != 0.0 or self.mlp_drop_rate != 0.0
+                or jax.default_backend() == "cpu"):
+            return None
+        from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
+        if not (_v2.FUSED_V2 and _v2.FUSED_TRAIN):
+            return None
+        B, H, W, d = x.shape
+        di = int(self.ssm_ratio * d)
+        g2 = _v2.pick_group_v2(B, H, W, d, di, 8, fuse_mlp=False)
+        if g2 is None:
+            return None
+        from xfmamba_tpu.ops.vss_block_v2_adjoint import (
+            fused_train_supported)
+        if not fused_train_supported(H * W, d, di, g2):
+            return None
+        p = self.variables["params"]
+        if "bias" in p["op"]["in_proj"] or "out_norm" not in p["op"] \
+                or "norm" not in p["op"]["out_norm"]:
+            return None
+        from xfmamba_tpu.ops.vss_block_pallas import pack_vss_block_params
+        from xfmamba_tpu.ops.vss_block_v2_adjoint import vss_block_train_v2
+        L = H * W
+        if self.drop_path > 0.0:
+            keep = 1.0 - self.drop_path
+            m1 = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                      (B,)) / keep
+        else:
+            m1 = jnp.ones((B,), jnp.float32)
+        m1 = jnp.broadcast_to(m1.astype(jnp.float32)[:, None, None],
+                              (B, L, 1))
+        m2 = jnp.ones((B, L, 1), jnp.float32)
+        packed = pack_vss_block_params(p, x.dtype, fuse_mlp=False)
+        y = vss_block_train_v2(H, W, self.ssm_conv_bias, False, g2,
+                               x.reshape(B, L, d), m1, m2, *packed)
         return y.reshape(B, H, W, d)
 
     @nn.compact
@@ -157,9 +214,13 @@ class VSSBlock(nn.Module):
         fused = self._fused_path(x, deterministic)
         if fused is not None:
             return fused
+        fused_ssm = (self._fused_train_path(x)
+                     if not deterministic else None)
 
         def body(x):
-            if self.ssm_ratio > 0:
+            if fused_ssm is not None:
+                x = fused_ssm
+            elif self.ssm_ratio > 0:
                 h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                  name="norm")(x)
                 h = SS2D(d_model=self.hidden_dim, d_state=self.ssm_d_state,

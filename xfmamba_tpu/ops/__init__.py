@@ -8,3 +8,8 @@ from xfmamba_tpu.ops.cross_scan import (
     cross_merge,
     directional_scan_2d,
 )
+from xfmamba_tpu.ops.layer_norm import (
+    layer_norm_fn,
+    layer_norm_linear_fn,
+    rms_norm_fn,
+)

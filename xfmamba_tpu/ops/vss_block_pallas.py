@@ -419,10 +419,12 @@ def pack_vss_block_params(p, mm_dtype, fuse_mlp):
 # reference composition (oracle + custom-vjp backward)
 # ---------------------------------------------------------------------
 
-def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None):
+def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None,
+                  m1=None, m2=None):
     """Pure-jnp mirror of the kernel's math (same op order, same casts) on
     (B, L, d).  Used as the test oracle and as the recompute path of the
-    custom VJP."""
+    custom VJP.  m1/m2: optional (B, L, 1) drop-path keep masks applied to
+    the SS2D and MLP residual branches (the v2 training semantics)."""
     mm_dtype = mm_dtype or x.dtype
     (ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
      lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2) = pack_vss_block_params(
@@ -494,6 +496,8 @@ def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None):
     y = ln(y_acc, lno)
     out = jnp.einsum("ble,ed->bld", y.astype(mm_dtype), w_out,
                      preferred_element_type=f32)
+    if m1 is not None:
+        out = out * m1.astype(f32)
     res = xf + out
     if fuse_mlp:
         h2 = ln(res, ln2)
@@ -502,6 +506,8 @@ def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None):
         f1 = 0.5 * f1 * (1.0 + jax.lax.erf(f1 * (2.0 ** -0.5)))
         f2 = jnp.einsum("blh,hd->bld", f1.astype(mm_dtype), w_fc2,
                         preferred_element_type=f32) + b_fc2
+        if m2 is not None:
+            f2 = f2 * m2.astype(f32)
         res = res + f2
     return res.astype(x.dtype)
 

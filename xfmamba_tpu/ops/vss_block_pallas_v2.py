@@ -24,7 +24,8 @@ layout and scan algorithm:
     slabs (W*G, C); all W*G columns advance one h-step per iteration; a
     small Hillis-Steele chain over the W per-column (A, B) exit pairs
     supplies the cross-column carries of the flat column-major traversal,
-    applied with the stored prefix-product P.
+    injected as the initial state of a second slab pass (no prefix-product
+    storage, no fix-up).
 
 Alignment requirements (asserted in the host wrapper): G in {1,2,4,8},
 8 | L*G and 8 | W*G.
@@ -45,6 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xfmamba_tpu.ops.vss_block_pallas import (
     _gelu_exact, _layer_norm, _shift0, pack_vss_block_params)
+
+# kill switches: v2 inference path (falls back to the v1 megakernel) and
+# the fused training path (megakernel fwd + block-level adjoint bwd)
+FUSED_V2 = True
+FUSED_TRAIN = True
 
 
 def _interleave(x, G):
@@ -99,37 +105,51 @@ def _serial_row_pair(af, bf, ar, br, L, G, out_f, out_r):
     jax.lax.fori_loop(0, T, body, (hf0, hr0))
 
 
-def _serial_col_pair(af, bf, ar, br, H, W, G, out_f, pf_ref, out_r, pr_ref):
-    """Per-column serial scans for both column directions (zero init), also
-    storing the running prefix products P (needed to apply cross-column
-    carries afterwards).  Slab = one image row = (W*G, C) rows."""
+def _serial_col_pair(af, bf, ar, br, H, W, G, out_f, out_r):
+    """Per-column serial scans for both column directions in two passes.
+
+    Pass 1 computes only the per-column (A, B) exit pairs (total product +
+    zero-init exit state, H FMAs per slab); the cross-column carries of the
+    flat column-major traversal come from a small Hillis-Steele chain over
+    those pairs; pass 2 re-runs the H slab steps with the carry as the
+    *initial* state, writing the exact flat-traversal states directly —
+    no prefix-product arrays, no fix-up passes.  Slab = (W*G, C) rows."""
     WG = W * G
     C = af.shape[1]
     f32 = jnp.float32
-    h_f0 = jnp.zeros((WG, C), f32)
-    p_f0 = jnp.ones((WG, C), f32)
-    h_r0 = jnp.zeros((WG, C), f32)
-    p_r0 = jnp.ones((WG, C), f32)
+    zero = jnp.zeros((WG, C), f32)
+    one = jnp.ones((WG, C), f32)
 
-    def body(h, carry):
+    def pass1(h, carry):
         hf, pf, hr, pr = carry
         off_f = pl.multiple_of(h * WG, 8)
         off_r = pl.multiple_of((H - 1 - h) * WG, 8)
         a_f = af[pl.ds(off_f, WG), :]
-        b_f = bf[pl.ds(off_f, WG), :]
         a_r = ar[pl.ds(off_r, WG), :]
-        b_r = br[pl.ds(off_r, WG), :]
-        hf = a_f * hf + b_f
+        hf = a_f * hf + bf[pl.ds(off_f, WG), :]
         pf = a_f * pf
-        hr = a_r * hr + b_r
+        hr = a_r * hr + br[pl.ds(off_r, WG), :]
         pr = a_r * pr
-        out_f[pl.ds(off_f, WG), :] = hf
-        pf_ref[pl.ds(off_f, WG), :] = pf
-        out_r[pl.ds(off_r, WG), :] = hr
-        pr_ref[pl.ds(off_r, WG), :] = pr
         return hf, pf, hr, pr
 
-    jax.lax.fori_loop(0, H, body, (h_f0, p_f0, h_r0, p_r0))
+    B_cf, A_cf, B_cr, A_cr = jax.lax.fori_loop(
+        0, H, pass1, (zero, one, zero, one))
+
+    widx = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0) // G
+    c_f = _chain_cols(A_cf, B_cf, W, G, widx, False)
+    c_r = _chain_cols(A_cr, B_cr, W, G, widx, True)
+
+    def pass2(h, carry):
+        hf, hr = carry
+        off_f = pl.multiple_of(h * WG, 8)
+        off_r = pl.multiple_of((H - 1 - h) * WG, 8)
+        hf = af[pl.ds(off_f, WG), :] * hf + bf[pl.ds(off_f, WG), :]
+        hr = ar[pl.ds(off_r, WG), :] * hr + br[pl.ds(off_r, WG), :]
+        out_f[pl.ds(off_f, WG), :] = hf
+        out_r[pl.ds(off_r, WG), :] = hr
+        return hf, hr
+
+    jax.lax.fori_loop(0, H, pass2, (c_f, c_r))
 
 
 def _chain_cols(A_c, B_c, W, G, widx, reverse):
@@ -154,13 +174,24 @@ def _chain_cols(A_c, B_c, W, G, widx, reverse):
 
 
 def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-                         out_dtype,
-                         x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
-                         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
-                         lno_ref, w_out_ref, ln2_ref,
-                         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
-                         y_ref, hf_ref, hr_ref, pf_ref, pr_ref,
-                         af_ref, bf_ref, ar_ref, br_ref):
+                         out_dtype, with_masks,
+                         *refs):
+    if with_masks:
+        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
+         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
+         lno_ref, w_out_ref, ln2_ref,
+         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+         m1_ref, m2_ref,
+         y_ref, hf_ref, hr_ref,
+         af_ref, bf_ref, ar_ref, br_ref) = refs
+    else:
+        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
+         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
+         lno_ref, w_out_ref, ln2_ref,
+         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+         y_ref, hf_ref, hr_ref,
+         af_ref, bf_ref, ar_ref, br_ref) = refs
+        m1_ref = m2_ref = None
     f32 = jnp.float32
     L = H * W
     Lg = L * G
@@ -222,34 +253,22 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
     _serial_row_pair(af_ref, bf_ref, ar_ref, br_ref, L, G, hf_ref, hr_ref)
     y_acc = y_acc + Ck(0) * hf_ref[...] + Ck(2) * hr_ref[...]
 
-    # ---- column directions (k=1 forward, k=3 reverse): slab serial scans
-    # + cross-column carry chain
+    # ---- column directions (k=1 forward, k=3 reverse): two-pass slab
+    # serial scans (carry-init second pass writes exact flat states)
     a_f, b_f = dir_ab(1)
     a_r, b_r = dir_ab(3)
     af_ref[...], bf_ref[...] = a_f, b_f
     ar_ref[...], br_ref[...] = a_r, b_r
     _serial_col_pair(af_ref, bf_ref, ar_ref, br_ref, H, W, G, hf_ref,
-                     pf_ref, hr_ref, pr_ref)
-    widx = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0) // G
-    # forward: exits at the bottom slab (h = H-1)
-    A_cf = pf_ref[pl.ds((H - 1) * WG, WG), :]
-    B_cf = hf_ref[pl.ds((H - 1) * WG, WG), :]
-    c_f = _chain_cols(A_cf, B_cf, W, G, widx, False)            # (WG, C)
-    # reverse: exits at the top slab (h = 0)
-    A_cr = pr_ref[pl.ds(0, WG), :]
-    B_cr = hr_ref[pl.ds(0, WG), :]
-    c_r = _chain_cols(A_cr, B_cr, W, G, widx, True)
-    cb_f = jnp.broadcast_to(c_f[None], (H, WG, a_f.shape[1])) \
-        .reshape(Lg, a_f.shape[1])
-    cb_r = jnp.broadcast_to(c_r[None], (H, WG, a_f.shape[1])) \
-        .reshape(Lg, a_f.shape[1])
-    y_acc = y_acc + Ck(1) * (hf_ref[...] + pf_ref[...] * cb_f)
-    y_acc = y_acc + Ck(3) * (hr_ref[...] + pr_ref[...] * cb_r)
+                     hr_ref)
+    y_acc = y_acc + Ck(1) * hf_ref[...] + Ck(3) * hr_ref[...]
 
     y = _layer_norm(y_acc, lno_ref[0:1, :].astype(f32),
                     lno_ref[1:2, :].astype(f32), use_mxu=True)
     out = jax.lax.dot(y.astype(mm_dtype), w_out_ref[...],
                       preferred_element_type=f32)               # (Lg, d)
+    if with_masks:
+        out = out * m1_ref[0][:, 0:1].astype(f32)
     res = x + out
 
     if fuse_mlp:
@@ -259,8 +278,11 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
                          preferred_element_type=f32)
         f1 = _gelu_exact(f1 + b_fc1_ref[...].astype(f32))
         f2 = jax.lax.dot(f1.astype(mm_dtype), w_fc2_ref[...],
-                         preferred_element_type=f32)
-        res = res + f2 + b_fc2_ref[...].astype(f32)
+                         preferred_element_type=f32) \
+            + b_fc2_ref[...].astype(f32)
+        if with_masks:
+            f2 = f2 * m2_ref[0][:, 0:1].astype(f32)
+        res = res + f2
 
     y_ref[0] = res.astype(out_dtype)
 
@@ -272,7 +294,8 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
 def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
                        Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                        H, W, conv_bias, fuse_mlp, interpret=False,
-                       vmem_mb=100, group=8, interleaved=False):
+                       vmem_mb=100, group=8, interleaved=False,
+                       m1=None, m2=None):
     """v2 entry.  x (B, L, d); returns (B, L, d).  With ``interleaved``,
     x is already (B//G, L*G, d) position-major and stays so on return
     (stage-level callers hoist the layout change outside the block loop)."""
@@ -291,25 +314,36 @@ def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     mm_dtype = w_in.dtype
     if not interleaved:
         x = _interleave(x, G)
+    with_masks = m1 is not None
     kernel = functools.partial(
         _vss_block_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-        x.dtype)
+        x.dtype, with_masks)
     blk_x = pl.BlockSpec((1, L * G, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_m = pl.BlockSpec((1, L * G, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jnp.float32
+    operands = [x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
+                lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2]
+    in_specs = [blk_x] + [full] * 16
+    if with_masks:
+        operands += [_interleave(m1.astype(f32), G) if not interleaved
+                     else m1,
+                     _interleave(m2.astype(f32), G) if not interleaved
+                     else m2]
+        in_specs += [blk_m, blk_m]
     y = pl.pallas_call(
         kernel,
         grid=(B // G,),
-        in_specs=[blk_x] + [full] * 16,
+        in_specs=in_specs,
         out_specs=blk_x,
         out_shape=jax.ShapeDtypeStruct((B // G, L * G, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((L * G, di), f32) for _ in range(8)],
+        scratch_shapes=[pltpu.VMEM((L * G, di), f32) for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
-    )(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
-      lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2)
+    )(*operands)
     if not interleaved:
         y = _deinterleave(y, G, L).reshape(B, L, d)
     return y
@@ -320,3 +354,282 @@ def vss_block_fused_v2(x, p, H, W, conv_bias, fuse_mlp, group=8):
     args = pack_vss_block_params(p, x.dtype, fuse_mlp)
     return _vss_block_call_v2(x, *args, H=H, W=W, conv_bias=conv_bias,
                               fuse_mlp=fuse_mlp, group=group)
+
+
+_VMEM_BUDGET_V2 = 80 * 1024 * 1024
+
+
+def _vmem_estimate_v2(L, d, di, hd, G, fuse_mlp):
+    """Working set: 6 f32 (L*G, di) scratch arrays, ~4 live f32 (L*G, di)
+    values (u, xdbl-derived, y_acc, conv temps), the x/res (L*G, d) buffers,
+    and the bf16 matmul weights."""
+
+    def pad128(n):
+        return ((n + 127) // 128) * 128
+
+    Lg = L * G
+    acts = 10 * Lg * pad128(di) * 4 + 3 * Lg * pad128(d) * 4
+    weights = 2 * (d * di * 2) + di * 4
+    if fuse_mlp:
+        weights += 2 * (d * hd * 2)
+        acts += Lg * pad128(hd) * 2
+    return acts + weights
+
+
+def pick_group_v2(B, H, W, d, di, hd, fuse_mlp=True,
+                  budget_bytes=_VMEM_BUDGET_V2):
+    """Group size for the v2 kernel, or None when no valid choice exists
+    (caller falls back to v1).  Preference order from measured per-stage
+    optima on v5e (`scripts/ab_v1_v2.py`): big maps want small G (VMEM
+    pressure), small maps want G=8 (serial-chain latency amortization)."""
+    L = H * W
+    if L >= 2048:
+        prefs = (1, 2)
+    elif L >= 512:
+        prefs = (2, 4, 1)
+    elif L >= 128:
+        prefs = (4, 8, 2)
+    else:
+        prefs = (8, 4, 2)
+    for G in prefs:
+        if B % G:
+            continue
+        if (L * G) % 8 or (W * G) % 8:
+            continue
+        if _vmem_estimate_v2(L, d, di, hd, G, fuse_mlp) < budget_bytes:
+            return G
+    return None
+
+
+# ---------------------------------------------------------------------
+# whole-map multi-state scan v2 (fusion ops: Cross_SS2Dv5, ShallowFuse)
+# ---------------------------------------------------------------------
+
+def _serial_row_pair_cols(ab, bb, H, W, G, out_f, out_r):
+    """Like `_serial_row_pair` but fwd/rev share one (Lg, 2C) scratch pair
+    (fwd in lanes [:C], rev in [C:])."""
+    L = H * W
+    S = 8 // G
+    T = (L * G) // 8
+    C = ab.shape[1] // 2
+    f32 = jnp.float32
+    hf0 = jnp.zeros((G, C), f32)
+    hr0 = jnp.zeros((G, C), f32)
+
+    def body(i, carry):
+        hf, hr = carry
+        base_f = pl.multiple_of(i * 8, 8)
+        base_r = pl.multiple_of((T - 1 - i) * 8, 8)
+        a_f = ab[pl.ds(base_f, 8), :]
+        b_f = bb[pl.ds(base_f, 8), :]
+        a_r = ab[pl.ds(base_r, 8), :]
+        b_r = bb[pl.ds(base_r, 8), :]
+        outs_f, outs_r = [], []
+        for u in range(S):
+            sf = slice(u * G, (u + 1) * G)
+            sr = slice((S - 1 - u) * G, (S - u) * G)
+            hf = a_f[sf, :C] * hf + b_f[sf, :C]
+            hr = a_r[sr, C:] * hr + b_r[sr, C:]
+            outs_f.append(hf)
+            outs_r.insert(0, hr)
+        out_f[pl.ds(base_f, 8), :] = (jnp.concatenate(outs_f, axis=0)
+                                      if S > 1 else outs_f[0])
+        out_r[pl.ds(base_r, 8), :] = (jnp.concatenate(outs_r, axis=0)
+                                      if S > 1 else outs_r[0])
+        return hf, hr
+
+    jax.lax.fori_loop(0, T, body, (hf0, hr0))
+
+
+def _serial_col_pair_cols(ab, bb, H, W, G, out_f, out_r):
+    """Two-pass column scans with fwd/rev sharing one (Lg, 2C) pair."""
+    WG = W * G
+    C = ab.shape[1] // 2
+    f32 = jnp.float32
+    zero = jnp.zeros((WG, C), f32)
+    one = jnp.ones((WG, C), f32)
+
+    def pass1(h, carry):
+        hf, pf, hr, pr = carry
+        off_f = pl.multiple_of(h * WG, 8)
+        off_r = pl.multiple_of((H - 1 - h) * WG, 8)
+        a_f = ab[pl.ds(off_f, WG), :]
+        b_f = bb[pl.ds(off_f, WG), :]
+        a_r = ab[pl.ds(off_r, WG), :]
+        b_r = bb[pl.ds(off_r, WG), :]
+        hf = a_f[:, :C] * hf + b_f[:, :C]
+        pf = a_f[:, :C] * pf
+        hr = a_r[:, C:] * hr + b_r[:, C:]
+        pr = a_r[:, C:] * pr
+        return hf, pf, hr, pr
+
+    B_cf, A_cf, B_cr, A_cr = jax.lax.fori_loop(
+        0, H, pass1, (zero, one, zero, one))
+    widx = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0) // G
+    c_f = _chain_cols(A_cf, B_cf, W, G, widx, False)
+    c_r = _chain_cols(A_cr, B_cr, W, G, widx, True)
+
+    def pass2(h, carry):
+        hf, hr = carry
+        off_f = pl.multiple_of(h * WG, 8)
+        off_r = pl.multiple_of((H - 1 - h) * WG, 8)
+        hf = ab[pl.ds(off_f, WG), :C] * hf + bb[pl.ds(off_f, WG), :C]
+        hr = ab[pl.ds(off_r, WG), C:] * hr + bb[pl.ds(off_r, WG), C:]
+        out_f[pl.ds(off_f, WG), :] = hf
+        out_r[pl.ds(off_r, WG), :] = hr
+        return hf, hr
+
+    jax.lax.fori_loop(0, H, pass2, (c_f, c_r))
+
+
+def _nk_scan_kernel_v2(H, W, G, K, N, kinds, out_dtype,
+                       u_ref, dts_ref, Bs_ref, Cs_ref,
+                       A_ref, Dsum_ref, bias_ref, y_ref,
+                       ab_ref, bb_ref, hf_ref, hr_ref):
+    """Serial-scan version of `_nk_scan_kernel`: each (k, n) state is one
+    latency-amortized serial chain; chains pair (forward, reverse) of the
+    same traversal family to interleave in one loop.
+
+    Requires kinds grouped as matching (fwd, rev) pairs or all-forward
+    (unidi); see `nk_scan_v2_kind_pairs`."""
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)                                    # (Lg, D)
+    D = u.shape[1]
+    y = u * Dsum_ref[...].astype(f32)
+
+    dtus = []
+    dts = []
+    for k in range(K):
+        dt = dts_ref[0][:, k * D:(k + 1) * D].astype(f32)
+        dt = jax.nn.softplus(dt + bias_ref[k:k + 1, :].astype(f32))
+        dts.append(dt)
+        dtus.append(dt * u)
+
+    pairs = nk_scan_v2_kind_pairs(kinds)
+    for (kf, kr, fam) in pairs:
+        for n in range(N):
+            a_f = jnp.exp(dts[kf] * A_ref[kf * N + n:kf * N + n + 1, :]
+                          .astype(f32))
+            b_f = dtus[kf] * Bs_ref[0][:, kf * N + n:kf * N + n + 1] \
+                .astype(f32)
+            if kr is not None:
+                a_r = jnp.exp(dts[kr] * A_ref[kr * N + n:kr * N + n + 1, :]
+                              .astype(f32))
+                b_r = dtus[kr] * Bs_ref[0][:, kr * N + n:kr * N + n + 1] \
+                    .astype(f32)
+            else:  # all-forward family: run the same chain twice-as-wide
+                a_r = a_f
+                b_r = jnp.zeros_like(b_f)
+            ab_ref[...] = jnp.concatenate([a_f, a_r], axis=1)
+            bb_ref[...] = jnp.concatenate([b_f, b_r], axis=1)
+            if fam == "col":
+                _serial_col_pair_cols(ab_ref, bb_ref, H, W, G, hf_ref,
+                                      hr_ref)
+            else:
+                _serial_row_pair_cols(ab_ref, bb_ref, H, W, G, hf_ref,
+                                      hr_ref)
+            y = y + Cs_ref[0][:, kf * N + n:kf * N + n + 1].astype(f32) \
+                * hf_ref[...]
+            if kr is not None:
+                y = y + Cs_ref[0][:, kr * N + n:kr * N + n + 1] \
+                    .astype(f32) * hr_ref[...]
+    y_ref[0] = y.astype(out_dtype)
+
+
+def nk_scan_v2_kind_pairs(kinds):
+    """Group per-k traversals into (fwd_k, rev_k, family) chain pairs.
+    cross2d: (row_f, row_r) + (col_f, col_r); unidi/flat: forward-only
+    pairs with kr=None; bidi: (row_f, row_r) x2."""
+    fwd = {"row_f": "row", "flat_f": "row", "col_f": "col"}
+    rev = {"row_r": "row", "flat_r": "row", "col_r": "col"}
+    unpaired_f = [(i, fwd[k]) for i, k in enumerate(kinds) if k in fwd]
+    unpaired_r = [(i, rev[k]) for i, k in enumerate(kinds) if k in rev]
+    pairs = []
+    for (i, fam) in unpaired_f:
+        match = next(((j, famr) for (j, famr) in unpaired_r if famr == fam),
+                     None)
+        if match is not None:
+            unpaired_r.remove(match)
+            pairs.append((i, match[0], fam))
+        else:
+            pairs.append((i, None, fam))
+    if unpaired_r:
+        raise ValueError(f"unpaired reverse traversals in {kinds}")
+    return pairs
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "kinds", "group",
+                                              "interpret", "vmem_mb"))
+def nk_scan_call_v2(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds, group=8,
+                    interpret=False, vmem_mb=100):
+    """Serial-scan drop-in for `nk_scan_call` (same contract: u (B, L, D);
+    dts (B, L, K*D); Bs/Cs (B, L, K*N); A (K*N, D) rows in (k, n) order;
+    Dvec (K, D); bias (K, D); returns (B, L, D) in u.dtype)."""
+    B, L, D = u.shape
+    K = len(kinds)
+    N = A.shape[0] // K
+    G = group if (B % group == 0 and (L * group) % 8 == 0
+                  and (W * group) % 8 == 0) else 1
+    if (L * G) % 8 or (W * G) % 8:
+        from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call
+        return nk_scan_call(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds,
+                            group=group, interpret=interpret)
+    Lg = G * L
+    Dsum = Dvec.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+    def inter(z):
+        Bz, Lz, Cz = z.shape
+        z = z.reshape(Bz // G, G, Lz, Cz)
+        return jnp.swapaxes(z, 1, 2).reshape(Bz // G, Lz * G, Cz)
+
+    kernel = functools.partial(_nk_scan_kernel_v2, H, W, G, K, N, kinds,
+                               u.dtype)
+    blk = lambda c: pl.BlockSpec((1, Lg, c), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    y = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[blk(D), blk(K * D), blk(K * N), blk(K * N),
+                  full, full, full],
+        out_specs=blk(D),
+        out_shape=jax.ShapeDtypeStruct((B // G, Lg, D), u.dtype),
+        scratch_shapes=[pltpu.VMEM((Lg, 2 * D), f32),
+                        pltpu.VMEM((Lg, 2 * D), f32),
+                        pltpu.VMEM((Lg, D), f32),
+                        pltpu.VMEM((Lg, D), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(inter(u), inter(dts), inter(Bs), inter(Cs), A, Dsum,
+      bias.astype(jnp.float32))
+    y = y.reshape(B // G, L, G, D)
+    return jnp.swapaxes(y, 1, 2).reshape(B, L, D)
+
+
+def nk_scan_from_projs_v2(x, dts, Bs, Cs, A, Dmat, bias,
+                          scan_mode="cross2d", group=None, interpret=False):
+    """Serial-scan drop-in for `nk_scan_from_projs` (same contract)."""
+    B, H, W, D = x.shape
+    K = A.shape[0]
+    N = A.shape[-1]
+    L = H * W
+    if scan_mode == "cross2d":
+        kinds = ("row_f", "col_f", "row_r", "col_r")
+    elif scan_mode == "unidi":
+        kinds = ("row_f",) * K
+    elif scan_mode == "bidi":
+        kinds = ("row_f", "row_f", "row_r", "row_r")
+    else:
+        raise ValueError(scan_mode)
+    if group is None:
+        group = next((g for g in (8, 4, 2) if B % g == 0
+                      and (L * g) % 8 == 0 and (W * g) % 8 == 0), 1)
+    u = x.reshape(B, L, D)
+    A_p = jnp.swapaxes(A.astype(jnp.float32), 1, 2).reshape(K * N, D)
+    y = nk_scan_call_v2(u, dts.reshape(B, L, K * D),
+                        Bs.reshape(B, L, K * N), Cs.reshape(B, L, K * N),
+                        A_p, Dmat, bias, H, W, kinds, group=group,
+                        interpret=interpret)
+    return y.astype(jnp.float32).reshape(B, H, W, D)
