@@ -142,3 +142,47 @@ def test_nk_scan_v2_shallowfuse_pattern():
     y_k = jnp.concatenate(ys, axis=-1)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi", "bidi"])
+def test_nk_scan_v3_matches_composable(scan_mode):
+    """Wide-state nk kernel (`nk_scan_wide.nk_scan_call_v3`: all N states in
+    one lane-folded chain) vs the composable oracle at a 128-aligned D."""
+    from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3
+    B, H, W, D, K, N = 2, 4, 8, 128, 4, 4
+    L = H * W
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(7, B, H, W, D, K, N)
+    y_ref = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                 scan_mode=scan_mode,
+                                 scan_impl=selective_scan)
+    if scan_mode == "cross2d":
+        kinds = ("row_f", "col_f", "row_r", "col_r")
+    elif scan_mode == "unidi":
+        kinds = ("row_f",) * K
+    else:
+        kinds = ("row_f", "row_f", "row_r", "row_r")
+    A_p = jnp.swapaxes(A, 1, 2).reshape(K * N, D)
+    y_k = nk_scan_call_v3(x.reshape(B, L, D),
+                          dts.reshape(B, L, K * D).reshape(B, L, K * D),
+                          Bs.reshape(B, L, K * N), Cs.reshape(B, L, K * N),
+                          A_p, Dmat, bias, H, W, kinds, group=2,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k).reshape(B, H, W, D),
+                               np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_nk_scan_v3_group_isolation():
+    """G=4 wide kernel must not leak state across grouped images."""
+    from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3
+    B, H, W, D, K, N = 4, 2, 4, 128, 4, 2
+    L = H * W
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(8, B, H, W, D, K, N)
+    kinds = ("row_f", "col_f", "row_r", "col_r")
+    A_p = jnp.swapaxes(A, 1, 2).reshape(K * N, D)
+    args = (x.reshape(B, L, D), dts.reshape(B, L, K * D),
+            Bs.reshape(B, L, K * N), Cs.reshape(B, L, K * N),
+            A_p, Dmat, bias, H, W, kinds)
+    y1 = nk_scan_call_v3(*args, group=1, interpret=True)
+    y4 = nk_scan_call_v3(*args, group=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)

@@ -51,6 +51,12 @@ from xfmamba_tpu.ops.vss_block_pallas import (
 # the fused training path (megakernel fwd + block-level adjoint bwd)
 FUSED_V2 = True
 FUSED_TRAIN = True
+# wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
+# EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
+# (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
+# the kernel sits at a VMEM-traffic/exp floor that chain widening does not
+# move; kept as a tested ablation, off by default.
+FUSED_V3 = False
 
 
 def _interleave(x, G):
@@ -574,6 +580,10 @@ def nk_scan_call_v2(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds, group=8,
         from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call
         return nk_scan_call(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds,
                             group=group, interpret=interpret)
+    from xfmamba_tpu.ops import nk_scan_wide as _w
+    if FUSED_V3 and _w.nk_scan_v3_supported(L, W, D, K, N, G, kinds):
+        return _w.nk_scan_call_v3(u, dts, Bs, Cs, A, Dvec, bias, H, W,
+                                  kinds, group=G, interpret=interpret)
     Lg = G * L
     Dsum = Dvec.astype(jnp.float32).sum(axis=0, keepdims=True)
 
