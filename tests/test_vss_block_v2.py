@@ -69,3 +69,28 @@ def test_v2_matches_ref_mirror():
                              fuse_mlp=True, interpret=True, group=G)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("G,mlp", [(2, 4.0), (1, 0.0)])
+def test_stage_stacked_matches_sequential(G, mlp):
+    """The stage-stacked kernel (one pallas_call, weights streamed via the
+    grid, activation carried in scratch) must equal running the blocks
+    back-to-back through the single-block kernel path."""
+    H, W, d, depth = 4, 8 // G, 32, 3
+    B = max(G, 2)
+    blocks = [_make_block(d, H, W, B, False, mlp, seed=s)
+              for s in range(depth)]
+    x = blocks[0][2]
+    y_seq = x
+    for blk, variables, _ in blocks:
+        y_seq = blk.apply(variables, y_seq)
+
+    ps = [v["params"] for _, v, _ in blocks]
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import (
+        _vss_stage_call_v2, pack_vss_stage_params)
+    packed = pack_vss_stage_params(ps, jnp.float32, mlp > 0)
+    y_k = _vss_stage_call_v2(x.reshape(B, H * W, d), *packed, H=H, W=W,
+                             conv_bias=False, fuse_mlp=mlp > 0,
+                             interpret=True, group=G)
+    np.testing.assert_allclose(np.asarray(y_k).reshape(y_seq.shape),
+                               np.asarray(y_seq), rtol=4e-5, atol=4e-5)

@@ -252,7 +252,12 @@ class VSSBlock(nn.Module):
 
 
 class VSSM(nn.Module):
-    """4-stage hierarchical backbone + classifier (`vmamba.py:2045-2307`)."""
+    """4-stage hierarchical backbone + classifier (`vmamba.py:2045-2307`).
+
+    At inference on TPU (bf16, v05_noz/d_state=1), whole stages run as ONE
+    stage-stacked Pallas kernel (`vss_block_pallas_v2._vss_stage_call_v2`):
+    block weights stream through the grid while the activation stays in
+    VMEM scratch — no HBM round-trip or kernel ramp between blocks."""
     depths: Sequence[int] = (2, 2, 9, 2)
     dims: Any = 96
     num_classes: int = 1000
@@ -288,6 +293,48 @@ class VSSM(nn.Module):
             return [self.dims * 2 ** i for i in range(len(self.depths))]
         return list(self.dims)
 
+    def _fused_stage_path(self, x, i, depth, deterministic):
+        """Whole-stage stacked megakernel (inference, TPU, bf16, the
+        shipped v05_noz/d_state=1 config).  Returns None when not
+        applicable; init always takes the composable path so the param
+        tree is identical either way."""
+        if self.is_initializing() or not deterministic or depth < 2:
+            return None
+        if (self.forward_type != "v05_noz" or self.ssm_d_state != 1
+                or self.ssm_ratio <= 0 or self.ssm_act != "silu"
+                or self.ssm_conv != 3 or self.gmlp
+                or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
+                or jax.default_backend() == "cpu"):
+            return None
+        from xfmamba_tpu.ops import vss_block_pallas as _vbp
+        from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
+        if not (_vbp.FUSED_INFERENCE and _v2.FUSED_V2 and _v2.FUSED_STAGE):
+            return None
+        B, H, W, d = x.shape
+        di = int(self.ssm_ratio * d)
+        hd = int(d * self.mlp_ratio)
+        fuse_mlp = self.mlp_ratio > 0
+        # leave headroom for the double-buffered per-block weight windows
+        wbytes = 2 * (2 * d * di + (2 * d * hd if fuse_mlp else 0)
+                      + 3 * di * di // 4) * 2
+        g2 = _v2.pick_group_v2(
+            B, H, W, d, di, hd, fuse_mlp,
+            budget_bytes=_v2._VMEM_BUDGET_V2 - wbytes)
+        if g2 is None:
+            return None
+        params = self.variables["params"]
+        ps = []
+        for j in range(depth):
+            p = params.get(f"stage{i}_block{j}")
+            if (p is None or "bias" in p["op"]["in_proj"]
+                    or "out_norm" not in p["op"]
+                    or "norm" not in p["op"]["out_norm"]):
+                return None
+            ps.append(p)
+        y = _v2.vss_stage_fused_v2(x.reshape(B, H * W, d), ps, H, W,
+                                   self.ssm_conv_bias, fuse_mlp, g2)
+        return y.reshape(B, H, W, d)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dims = self.stage_dims
@@ -313,7 +360,11 @@ class VSSM(nn.Module):
 
         outs = []
         for i in range(num_layers):
-            for j in range(self.depths[i]):
+            fused_stage = self._fused_stage_path(x, i, self.depths[i],
+                                                 deterministic)
+            if fused_stage is not None:
+                x = fused_stage
+            for j in range(self.depths[i] if fused_stage is None else 0):
                 x = Block(
                     hidden_dim=dims[i],
                     drop_path=float(dpr[sum(self.depths[:i]) + j]),

@@ -51,6 +51,8 @@ from xfmamba_tpu.ops.vss_block_pallas import (
 # the fused training path (megakernel fwd + block-level adjoint bwd)
 FUSED_V2 = True
 FUSED_TRAIN = True
+# whole-stage stacked kernel (weights streamed via grid, x in scratch)
+FUSED_STAGE = True
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
@@ -179,34 +181,21 @@ def _chain_cols(A_c, B_c, W, G, widx, reverse):
     return jnp.where(edge, 0.0, sh)
 
 
-def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-                         out_dtype, with_masks,
-                         *refs):
-    if with_masks:
-        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
-         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
-         lno_ref, w_out_ref, ln2_ref,
-         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
-         m1_ref, m2_ref,
-         y_ref, hf_ref, hr_ref,
-         af_ref, bf_ref, ar_ref, br_ref) = refs
-    else:
-        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
-         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
-         lno_ref, w_out_ref, ln2_ref,
-         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
-         y_ref, hf_ref, hr_ref,
-         af_ref, bf_ref, ar_ref, br_ref) = refs
-        m1_ref = m2_ref = None
+def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+                x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
+                lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2, m1, m2,
+                hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref):
+    """One whole VSSBlock on an f32 (Lg, d) VALUE; weights as values, scan
+    scratch as refs.  Shared by the per-block kernel and the stage-stacked
+    kernel (`_vss_stage_kernel_v2`).  Returns the f32 residual output."""
     f32 = jnp.float32
     L = H * W
     Lg = L * G
     WG = W * G
 
-    x = x_ref[0].astype(f32)                                    # (Lg, d)
-    h1 = _layer_norm(x, ln1_ref[0:1, :].astype(f32),
-                     ln1_ref[1:2, :].astype(f32), use_mxu=True)
-    xin = jax.lax.dot(h1.astype(mm_dtype), w_in_ref[...],
+    h1 = _layer_norm(x, ln1[0:1, :].astype(f32),
+                     ln1[1:2, :].astype(f32), use_mxu=True)
+    xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
                       preferred_element_type=f32)               # (Lg, di)
 
     # ---- depthwise 3x3 SAME conv, horizontal-taps-first decomposition.
@@ -217,7 +206,7 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
     wmod = lpos % W
     sh_l = jnp.where(wmod >= 1, _shift0(xin, G, False, False), 0.0)
     sh_r = jnp.where(wmod <= W - 2, _shift0(xin, G, True, False), 0.0)
-    w_c = w_conv_ref[...].astype(f32)
+    w_c = w_conv.astype(f32)
     hrow = []
     for i in range(3):
         hrow.append(sh_l * w_c[3 * i + 0:3 * i + 1, :]
@@ -228,28 +217,28 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
     acc = acc + jnp.where(lpos <= L - W - 1,
                           _shift0(hrow[2], WG, True, False), 0.0)
     if conv_bias:
-        acc = acc + b_conv_ref[...].astype(f32)
+        acc = acc + b_conv.astype(f32)
     u = acc * jax.nn.sigmoid(acc)                               # SiLU
 
     u_mm = u.astype(mm_dtype)
-    xdbl = jax.lax.dot(u_mm, w_xp_ref[...],
+    xdbl = jax.lax.dot(u_mm, w_xp,
                        preferred_element_type=f32)              # (Lg, 4R+8)
     xdbl_mm = xdbl.astype(mm_dtype)
 
     def dir_ab(k):
         rank_k = xdbl_mm[:, k * R:(k + 1) * R]
-        dt = jax.lax.dot(rank_k, w_dt_ref[k * R:(k + 1) * R, :],
+        dt = jax.lax.dot(rank_k, w_dt[k * R:(k + 1) * R, :],
                          preferred_element_type=f32)
-        dt = jax.nn.softplus(dt + b_dt_ref[k:k + 1, :].astype(f32))
+        dt = jax.nn.softplus(dt + b_dt[k:k + 1, :].astype(f32))
         Bk = xdbl[:, 4 * R + 2 * k:4 * R + 2 * k + 1]
-        a = jnp.exp(dt * A_ref[k:k + 1, :].astype(f32))
+        a = jnp.exp(dt * A[k:k + 1, :].astype(f32))
         b = dt * u * Bk
         return a, b
 
     def Ck(k):
         return xdbl[:, 4 * R + 2 * k + 1:4 * R + 2 * k + 2]
 
-    y_acc = u * Dsum_ref[...].astype(f32)
+    y_acc = u * Dsum.astype(f32)
 
     # ---- row directions (k=0 forward, k=2 reverse): flat serial chains
     a_f, b_f = dir_ab(0)
@@ -269,27 +258,59 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
                      hr_ref)
     y_acc = y_acc + Ck(1) * hf_ref[...] + Ck(3) * hr_ref[...]
 
-    y = _layer_norm(y_acc, lno_ref[0:1, :].astype(f32),
-                    lno_ref[1:2, :].astype(f32), use_mxu=True)
-    out = jax.lax.dot(y.astype(mm_dtype), w_out_ref[...],
+    y = _layer_norm(y_acc, lno[0:1, :].astype(f32),
+                    lno[1:2, :].astype(f32), use_mxu=True)
+    out = jax.lax.dot(y.astype(mm_dtype), w_out,
                       preferred_element_type=f32)               # (Lg, d)
-    if with_masks:
-        out = out * m1_ref[0][:, 0:1].astype(f32)
+    if m1 is not None:
+        out = out * m1[:, 0:1].astype(f32)
     res = x + out
 
     if fuse_mlp:
-        h2 = _layer_norm(res, ln2_ref[0:1, :].astype(f32),
-                         ln2_ref[1:2, :].astype(f32), use_mxu=True)
-        f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1_ref[...],
+        h2 = _layer_norm(res, ln2[0:1, :].astype(f32),
+                         ln2[1:2, :].astype(f32), use_mxu=True)
+        f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1,
                          preferred_element_type=f32)
-        f1 = _gelu_exact(f1 + b_fc1_ref[...].astype(f32))
-        f2 = jax.lax.dot(f1.astype(mm_dtype), w_fc2_ref[...],
+        f1 = _gelu_exact(f1 + b_fc1.astype(f32))
+        f2 = jax.lax.dot(f1.astype(mm_dtype), w_fc2,
                          preferred_element_type=f32) \
-            + b_fc2_ref[...].astype(f32)
-        if with_masks:
-            f2 = f2 * m2_ref[0][:, 0:1].astype(f32)
+            + b_fc2.astype(f32)
+        if m2 is not None:
+            f2 = f2 * m2[:, 0:1].astype(f32)
         res = res + f2
 
+    return res
+
+
+def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+                         out_dtype, with_masks,
+                         *refs):
+    if with_masks:
+        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
+         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
+         lno_ref, w_out_ref, ln2_ref,
+         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+         m1_ref, m2_ref,
+         y_ref, hf_ref, hr_ref,
+         af_ref, bf_ref, ar_ref, br_ref) = refs
+    else:
+        (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
+         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
+         lno_ref, w_out_ref, ln2_ref,
+         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+         y_ref, hf_ref, hr_ref,
+         af_ref, bf_ref, ar_ref, br_ref) = refs
+        m1_ref = m2_ref = None
+    res = _block_body(
+        H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+        x_ref[0].astype(jnp.float32), ln1_ref[...], w_in_ref[...],
+        w_conv_ref[...], b_conv_ref[...], w_xp_ref[...], w_dt_ref[...],
+        b_dt_ref[...], A_ref[...], Dsum_ref[...], lno_ref[...],
+        w_out_ref[...], ln2_ref[...], w_fc1_ref[...], b_fc1_ref[...],
+        w_fc2_ref[...], b_fc2_ref[...],
+        m1_ref[0] if with_masks else None,
+        m2_ref[0] if with_masks else None,
+        hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref)
     y_ref[0] = res.astype(out_dtype)
 
 
@@ -359,6 +380,103 @@ def vss_block_fused_v2(x, p, H, W, conv_bias, fuse_mlp, group=8):
     """Convenience wrapper mirroring `vss_block_fused` (inference only)."""
     args = pack_vss_block_params(p, x.dtype, fuse_mlp)
     return _vss_block_call_v2(x, *args, H=H, W=W, conv_bias=conv_bias,
+                              fuse_mlp=fuse_mlp, group=group)
+
+
+# ---------------------------------------------------------------------
+# stage-stacked megakernel: a whole stage of VSSBlocks per pallas_call
+# ---------------------------------------------------------------------
+
+def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+                         out_dtype,
+                         x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
+                         w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
+                         lno_ref, w_out_ref, ln2_ref,
+                         w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+                         y_ref, xs_ref, hf_ref, hr_ref,
+                         af_ref, bf_ref, ar_ref, br_ref):
+    """grid = (B//G, depth): for each image group the blocks of a stage run
+    back-to-back with the activation carried in VMEM scratch (`xs_ref`) —
+    no HBM round-trip or kernel ramp between blocks.  Block j's weights
+    arrive via grid-indexed BlockSpecs (leading depth axis), double-buffered
+    by Pallas while block j-1 computes."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xs_ref[...] = x_ref[0]
+
+    res = _block_body(
+        H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+        xs_ref[...].astype(jnp.float32), ln1_ref[0], w_in_ref[0],
+        w_conv_ref[0], b_conv_ref[0], w_xp_ref[0], w_dt_ref[0],
+        b_dt_ref[0], A_ref[0], Dsum_ref[0], lno_ref[0], w_out_ref[0],
+        ln2_ref[0], w_fc1_ref[0], b_fc1_ref[0], w_fc2_ref[0],
+        b_fc2_ref[0], None, None,
+        hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref)
+    out = res.astype(out_dtype)
+    xs_ref[...] = out
+    y_ref[0] = out
+
+
+def pack_vss_stage_params(ps, mm_dtype, fuse_mlp):
+    """Stack per-block operand lists along a leading depth axis."""
+    packed = [pack_vss_block_params(p, mm_dtype, fuse_mlp) for p in ps]
+    return tuple(jnp.stack(ws) for ws in zip(*packed))
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
+                                              "fuse_mlp", "interpret",
+                                              "vmem_mb", "group"))
+def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
+                       Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
+                       H, W, conv_bias, fuse_mlp, interpret=False,
+                       vmem_mb=100, group=8):
+    """Stage entry.  x (B, L, d); weights carry a leading depth axis;
+    returns (B, L, d) after all `depth` blocks."""
+    B, L, d = x.shape
+    G = group if B % group == 0 else 1
+    assert G in (1, 2, 4, 8) and (L * G) % 8 == 0 and (W * G) % 8 == 0, \
+        (L, W, G)
+    depth = ln1.shape[0]
+    R = w_dt.shape[1] // 4
+    di = w_in.shape[2]
+    mm_dtype = w_in.dtype
+    x = _interleave(x, G)
+    kernel = functools.partial(
+        _vss_stage_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+        x.dtype)
+    Lg = L * G
+    blk_x = pl.BlockSpec((1, Lg, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    weights = [ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
+               lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2]
+
+    def wspec(w):
+        s = w.shape[1:]
+        return pl.BlockSpec((1,) + s, lambda b, j: (j,) + (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    y = pl.pallas_call(
+        kernel,
+        grid=(B // G, depth),
+        in_specs=[blk_x] + [wspec(w) for w in weights],
+        out_specs=blk_x,
+        out_shape=jax.ShapeDtypeStruct((B // G, Lg, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Lg, d), x.dtype)]
+        + [pltpu.VMEM((Lg, di), f32) for _ in range(6)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(x, *weights)
+    return _deinterleave(y, G, L).reshape(B, L, d)
+
+
+def vss_stage_fused_v2(x, ps, H, W, conv_bias, fuse_mlp, group=8):
+    """Run a whole stage (list of VSSBlock param dicts) in one kernel."""
+    args = pack_vss_stage_params(ps, x.dtype, fuse_mlp)
+    return _vss_stage_call_v2(x, *args, H=H, W=W, conv_bias=conv_bias,
                               fuse_mlp=fuse_mlp, group=group)
 
 
