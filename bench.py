@@ -76,7 +76,7 @@ def main():
 
     best_ips = 0.0
     best_bs = 0
-    for bs in (32, 64):
+    for bs in (32, 64, 96):
         try:
             x1 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
             x2 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)

@@ -1,0 +1,154 @@
+"""On-device A/B tests: REAL compiled Pallas kernels vs the composable
+XLA path, at the production stage geometries (VERDICT r1 weak #4).
+
+The default suite pins the CPU backend (tests/conftest.py), where these
+tests auto-skip; run them on TPU hardware with
+
+    XFMAMBA_TEST_TPU=1 python -m pytest tests/test_tpu_onchip.py -q
+
+Interpret-mode tests pin the kernel *math*; these pin the *compiled*
+kernels (Mosaic lowering, VMEM budgets, group pick, layout plumbing) at
+the exact shapes the flagship model runs: stage maps 56²/28²/14²/7² with
+dims 96/192/384/768 (XFMamba-S) and the fusion ops at 7²×768/N=16.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() == "cpu",
+                       reason="on-device tier (set XFMAMBA_TEST_TPU=1)"),
+]
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+def _stage_block(d, H, W, B, seed=0):
+    from xfmamba_tpu.models.vssm import VSSBlock
+    blk = VSSBlock(hidden_dim=d, drop_path=0.0, ssm_d_state=1,
+                   ssm_ratio=2.0, ssm_act="silu", ssm_conv=3,
+                   ssm_conv_bias=False, ssm_init="v0",
+                   forward_type="v05_noz", mlp_ratio=4.0, mlp_act="gelu",
+                   dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, H, W, d),
+                          jnp.bfloat16)
+    variables = blk.init(jax.random.PRNGKey(seed), x)
+    return blk, variables, x
+
+
+@pytest.mark.parametrize("H,W,d", [
+    (56, 56, 96),     # stage 0, L=3136
+    (28, 28, 192),    # stage 1, L=784
+    (14, 14, 384),    # stage 2, L=196
+    (7, 7, 768),      # stage 3, L=49
+])
+def test_fused_block_matches_composable_on_device(H, W, d):
+    from xfmamba_tpu.ops import vss_block_pallas as v1
+    blk, variables, x = _stage_block(d, H, W, B=8)
+
+    assert v1.FUSED_INFERENCE
+    y_fused = np.asarray(jax.jit(
+        lambda v, a: blk.apply(v, a))(variables, x), np.float32)
+
+    v1.FUSED_INFERENCE = False
+    try:
+        y_comp = np.asarray(jax.jit(
+            lambda v, a: blk.apply(v, a))(variables, x), np.float32)
+    finally:
+        v1.FUSED_INFERENCE = True
+    assert _rel_err(y_fused, y_comp) < 2e-2
+
+
+def test_fused_model_matches_composable_on_device():
+    """End-to-end XFMamba-S two-view forward: fused stage/fusion kernels
+    vs the composable XLA path (bf16)."""
+    from xfmamba_tpu.models.tops import two_view_xfmamba
+    from xfmamba_tpu.ops import vss_block_pallas as v1
+
+    model = two_view_xfmamba("small", outputs=2, dtype=jnp.bfloat16)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (8, 224, 224, 1),
+                           jnp.bfloat16)
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (8, 224, 224, 1),
+                           jnp.bfloat16)
+    variables = model.init(jax.random.key(0), x1, x2)
+
+    y_fused = np.asarray(jax.jit(
+        lambda v, a, b: model.apply(v, a, b))(variables, x1, x2),
+        np.float32)
+    v1.FUSED_INFERENCE = False
+    try:
+        y_comp = np.asarray(jax.jit(
+            lambda v, a, b: model.apply(v, a, b))(variables, x1, x2),
+            np.float32)
+    finally:
+        v1.FUSED_INFERENCE = True
+    assert _rel_err(y_fused, y_comp) < 2e-2
+
+
+def test_fused_train_grads_match_on_device():
+    """Fused training path (megakernel fwd + adjoint bwd) vs composable
+    autodiff: loss and per-leaf grads at a multi-stage geometry."""
+    from xfmamba_tpu.models.vssm import VSSM
+    from xfmamba_tpu.ops import vss_block_pallas_v2 as v2
+
+    model = VSSM(depths=(1, 1), dims=32, num_classes=2, ssm_d_state=1,
+                 ssm_ratio=2.0, ssm_conv_bias=False,
+                 forward_type="v05_noz", mlp_ratio=4.0, drop_path_rate=0.0,
+                 downsample_version="v3", patchembed_version="v2",
+                 dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 3),
+                          jnp.bfloat16)
+    labels = jnp.zeros((8,), jnp.int32)
+    variables = model.init(jax.random.key(0), x)
+    params = variables["params"]
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, x, deterministic=False,
+                             rngs={"dropout": jax.random.key(3)})
+        onehot = jax.nn.one_hot(labels, 2)
+        return -jnp.mean(jnp.sum(
+            jax.nn.log_softmax(logits.astype(jnp.float32)) * onehot, -1))
+
+    assert v2.FUSED_TRAIN
+    lf, gf = jax.jit(jax.value_and_grad(loss_fn))(params)
+    v2.FUSED_TRAIN = False
+    try:
+        lc, gc = jax.jit(jax.value_and_grad(loss_fn))(params)
+    finally:
+        v2.FUSED_TRAIN = True
+    assert abs(float(lf) - float(lc)) < 1e-3
+    errs = jax.tree_util.tree_map(_rel_err, gf, gc)
+    assert max(jax.tree_util.tree_leaves(errs)) < 5e-2
+
+
+def test_ssd_pallas_matches_xla_on_device():
+    """Compiled SSD kernel vs the XLA einsum path at an m2-like geometry."""
+    from xfmamba_tpu.ops.ssd import ssd_chunk_scan
+    from xfmamba_tpu.ops.ssd_pallas import ssd_chunk_scan_pallas
+
+    b, s, h, p, g, n = 2, 196, 24, 16, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, s, h, p), jnp.float32)
+    dt = jax.random.normal(ks[1], (b, s, h), jnp.float32) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (h,), jnp.float32) * 0.3)
+    B = jax.random.normal(ks[3], (b, s, g, n), jnp.float32)
+    C = jax.random.normal(ks[4], (b, s, g, n), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[5], (h,), jnp.float32)
+    D = jnp.ones((h,), jnp.float32)
+
+    y_ref, fin_ref = ssd_chunk_scan(x, dt, A, B, C, chunk_size=64, D=D,
+                                    dt_bias=bias, dt_softplus=True,
+                                    return_final_states=True)
+    y_k, fin_k = jax.jit(lambda *a: ssd_chunk_scan_pallas(
+        *a, chunk_size=64, D=D, dt_bias=bias))(x, dt, A, B, C)
+    assert _rel_err(y_k, y_ref) < 1e-3
+    assert _rel_err(fin_k, fin_ref) < 1e-3

@@ -126,15 +126,15 @@ class ShallowFuseSS2Dv4(nn.Module):
 
         in_proj = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
                         kernel_init=trunc_normal_init(), name="in_proj")
-        x_p = in_proj(x)
-        x2_p = in_proj(x2)
-
         conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
                           feature_group_count=d_inner,
                           use_bias=self.conv_bias, dtype=self.dtype,
                           name="conv2d")
-        x_c = self.act(conv(x_p))
-        x2_c = self.act(conv(x2_p))
+        # batch both views through the shared projection + dwconv
+        p_cat = in_proj(jnp.concatenate([x, x2], axis=0))
+        x_p, x2_p = jnp.split(p_cat, 2, axis=0)
+        c_cat = self.act(conv(p_cat))
+        x_c, x2_c = jnp.split(c_cat, 2, axis=0)
 
         # --- scan parameters (K=2 groups)
         x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
@@ -315,19 +315,21 @@ class CrossSS2Dv5(nn.Module):
         in_proj_sec = Dense(d_inner, use_bias=self.bias, dtype=self.dtype,
                             kernel_init=trunc_normal_init(),
                             name="in_proj_sec")
-        x_p = in_proj_sec(x)
-        x2_p = in_proj_sec(x2)
-        xf_p = in_proj_sec(x_fuse)
+        # batch the three streams through the shared projection + dwconv:
+        # one matmul and one conv instead of three (identical math per row)
+        Bv = x.shape[0]
+        xcat0 = jnp.concatenate([x_fuse, x, x2], axis=0)
+        xp_cat = in_proj_sec(xcat0)
 
-        z = self.act(xf_p)
+        z = self.act(xp_cat[:Bv])
 
         if self.d_conv > 1:
             conv = Conv2dSame(d_inner, (self.d_conv, self.d_conv),
                               feature_group_count=d_inner,
                               use_bias=self.conv_bias, dtype=self.dtype,
                               name="conv2d")
-            x_p, x2_p, xf_p = conv(x_p), conv(x2_p), conv(xf_p)
-        x_p, x2_p, xf_p = self.act(x_p), self.act(x2_p), self.act(xf_p)
+            xp_cat = conv(xp_cat)
+        xcat = self.act(xp_cat)        # (3B, H, W, di): [fused, x, x2]
 
         x_proj_weight = self.param("x_proj_weight", trunc_normal_init(),
                                    (K, R + 2 * N, d_inner))
@@ -352,11 +354,10 @@ class CrossSS2Dv5(nn.Module):
         out_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                 name="out_norm")
 
-        # batch the three streams (fused, x, x2) on the batch axis: one
-        # projection einsum and ONE scan-kernel invocation instead of three;
-        # the fused stream's Cs substitute for each view's own (`:537,:568`)
-        Bv = x.shape[0]
-        xcat = jnp.concatenate([xf_p, x_p, x2_p], axis=0)
+        # the three streams (fused, x, x2) stay batched on the batch axis:
+        # one projection einsum and ONE scan-kernel invocation instead of
+        # three; the fused stream's Cs substitute for each view's own
+        # (`:537,:568`)
         dts_c, Bs_c, Cs_c = _project_kdirs(xcat, x_proj_weight,
                                            dt_projs_weight, R, N)
         Cs_f = Cs_c[:Bv]

@@ -630,13 +630,22 @@ class SS2D(nn.Module):
             initial_states = jnp.broadcast_to(
                 jax.lax.stop_gradient(init_var.value), (B_, KR, Dh, N))
 
+        # fused Pallas SSD kernel at inference on TPU (`ops/ssd_pallas.py`);
+        # training and CPU keep the XLA einsum formulation (autodiff path)
+        backend = None
+        if deterministic and not self.is_initializing() \
+                and jax.default_backend() != "cpu":
+            from xfmamba_tpu.ops import ssd_pallas as _sp
+            if _sp.FUSED_SSD and _sp.ssd_supported(
+                    L, KR, Dh, N, K, self.chunk_size):
+                backend = "pallas"
         ys, final_state = ssd_chunk_scan(
             xh, dth, -jnp.exp(A_logs.astype(jnp.float32)).reshape(KR),
             Bh, Ch, chunk_size=self.chunk_size,
             D=Ds.astype(jnp.float32).reshape(KR, Dh),
             dt_bias=dt_projs_bias.astype(jnp.float32).reshape(KR),
             initial_states=initial_states, dt_softplus=True,
-            return_final_states=True)
+            return_final_states=True, backend=backend)
 
         if init_var is not None and not self.is_initializing() \
                 and self.is_mutable_collection("ssm_state"):

@@ -79,8 +79,11 @@ class TwoViewLateJoinMamba(nn.Module):
     @nn.compact
     def __call__(self, x_a, x_b, deterministic: bool = True):
         backbone = _make_backbone("small", self.dtype)
-        z_a = backbone(_expand_gray(x_a), deterministic=deterministic)[3]
-        z_b = backbone(_expand_gray(x_b), deterministic=deterministic)[3]
+        Bv = x_a.shape[0]
+        zcat = backbone(jnp.concatenate(
+            [_expand_gray(x_a), _expand_gray(x_b)], axis=0),
+            deterministic=deterministic)[3]
+        z_a, z_b = zcat[:Bv], zcat[Bv:]
         z = jnp.concatenate([z_a, z_b], axis=-1)
         z = z.mean(axis=(1, 2))
         return Dense(self.outputs, dtype=self.dtype,
@@ -131,8 +134,14 @@ class TwoViewXFMamba(nn.Module):
         backbone = _make_backbone(self.model_type, self.dtype,
                                   self.use_checkpoint,
                                   self.backbone_overrides)
-        z_a = backbone(_expand_gray(x_a), deterministic=deterministic)[3]
-        z_b = backbone(_expand_gray(x_b), deterministic=deterministic)[3]
+        # both views share backbone weights: run them as ONE batched pass
+        # (identical math per image; halves kernel dispatches and compiles
+        # the backbone graph once instead of twice)
+        Bv = x_a.shape[0]
+        zcat = backbone(jnp.concatenate(
+            [_expand_gray(x_a), _expand_gray(x_b)], axis=0),
+            deterministic=deterministic)[3]
+        z_a, z_b = zcat[:Bv], zcat[Bv:]
 
         # saliency hooks (GradCAM-equivalent, `2_inference_mura.py:109-121`):
         # `sow` exposes the stage-3 feature maps via capture_intermediates;

@@ -60,7 +60,8 @@ def _pick_chunk_size(seqlen: int, chunk_size: int) -> int:
 
 def ssd_chunk_scan(x, dt, A, B, C, chunk_size, D=None, z=None, dt_bias=None,
                    initial_states=None, seq_idx=None, dt_softplus=False,
-                   dt_limit=(0.0, float("inf")), return_final_states=False):
+                   dt_limit=(0.0, float("inf")), return_final_states=False,
+                   backend=None):
     """Chunked SSD scan (Mamba-2), semantics of
     ``mamba_chunk_scan_combined_torch`` (`ssd_minimal.py:85-127`).
 
@@ -84,6 +85,19 @@ def ssd_chunk_scan(x, dt, A, B, C, chunk_size, D=None, z=None, dt_bias=None,
     del seq_idx  # varlen packing unsupported (unused by the reference model)
     b, s, h, p = x.shape
     _, _, g, n = B.shape
+
+    if backend == "pallas":
+        # fused TPU kernel (`ops/ssd_pallas.py`) — forward-only perf path
+        # for the shipped m0_noz surface; callers gate on `ssd_supported`.
+        assert z is None and dt_softplus and dt_limit == (0.0, float("inf"))
+        from xfmamba_tpu.ops.ssd_pallas import ssd_chunk_scan_pallas
+        y, final_state = ssd_chunk_scan_pallas(
+            x, dt, A, B, C, chunk_size, D=D, dt_bias=dt_bias,
+            initial_states=initial_states)
+        if return_final_states:
+            return y, final_state
+        return y
+
     chunk_size = _pick_chunk_size(s, chunk_size)
     nc = s // chunk_size
 

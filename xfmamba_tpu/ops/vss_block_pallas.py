@@ -226,7 +226,24 @@ def _erf_approx(x):
     return jnp.sign(x) * y
 
 
+# tanh-form GELU in the fused kernels (the erf rational costs ~18 VPU ops
+# on the 4x-wide MLP hidden — the single largest VPU item at stage-2 —
+# vs ~6 for the tanh form; max abs deviation from exact GELU ~3e-4, far
+# below bf16 I/O noise).  Flip off to restore the f32-accurate erf form.
+GELU_TANH = True
+
+
+def _gelu_tanh(x):
+    """PyTorch ``approximate='tanh'`` GELU: 0.5x(1+tanh(√(2/π)(x+0.044715x³)))
+    with tanh(u) = 1 − 2/(e^{2u}+1) (Mosaic-safe: inf-clean at both tails)."""
+    u2 = x * (1.5957691216057308 + 0.07135481627159839 * (x * x))  # 2u
+    t = 1.0 - 2.0 / (jnp.exp(u2) + 1.0)
+    return 0.5 * x * (1.0 + t)
+
+
 def _gelu_exact(x):
+    if GELU_TANH:
+        return _gelu_tanh(x)
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xfmamba_tpu.ops.vss_block_pallas import _erf_approx, _shift0
+from xfmamba_tpu.ops.vss_block_pallas import (
+    _erf_approx, _gelu_exact, _shift0)
+from xfmamba_tpu.ops import vss_block_pallas as _vbp
 from xfmamba_tpu.ops.vss_block_pallas_v2 import (
     _chain_cols, _serial_col_pair, _serial_row_pair)
 
@@ -72,7 +74,14 @@ def _mm_t(a, b):
 
 
 def _gelu_grad(z):
-    """d/dz of exact GELU (A&S erf approx, matching the fwd kernel)."""
+    """d/dz of the fwd kernel's GELU (branches on `GELU_TANH` so fwd and
+    bwd always use the same nonlinearity)."""
+    if _vbp.GELU_TANH:
+        # gelu(z) = 0.5 z (1 + t), t = tanh(u), u = c1 z + c2 z^3
+        c1, c2 = 0.7978845608028654, 0.03567740814059205
+        t = 1.0 - 2.0 / (jnp.exp(2.0 * (z * (c1 + c2 * (z * z)))) + 1.0)
+        du = c1 + 3.0 * c2 * (z * z)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * du
     inv_sqrt2 = 2.0 ** -0.5
     cdf = 0.5 * (1.0 + _erf_approx(z * inv_sqrt2))
     pdf = jnp.exp(-0.5 * z * z) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
@@ -212,7 +221,7 @@ def _vss_block_bwd_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
         zf1 = jax.lax.dot(h2n.astype(mm_dtype), w_fc1_ref[...],
                           preferred_element_type=f32) \
             + b_fc1_ref[...].astype(f32)
-        f1 = 0.5 * zf1 * (1.0 + _erf_approx(zf1 * (2.0 ** -0.5)))
+        f1 = _gelu_exact(zf1)
         m2 = m2_ref[0][:, 0:1].astype(f32)
         df2 = g * m2
         db_fc2 = _colsum(df2)
