@@ -11,17 +11,21 @@ semantics oracle; its weakness at scale is that XLA materializes the
 here every intermediate lives in VMEM and the MXU does all the quadratic
 work.
 
-Algorithm per (batch b, group k, head tile of R_t heads), chunks serial:
+Algorithm per (batch b, group k, head tile of R_t heads), chunks serial,
+per head h in the tile:
 
-    dt     = softplus(dt_raw + bias) * [row < L]       (c, R_t)
+    dt     = softplus(dt_raw + bias_h) * [row < L]     (c, 1)
     w      = A_h * dt
-    cums   = LT_ones @ w                (MXU cumsum)   (c, R_t)
+    cums   = LT_ones @ w                (MXU cumsum)   (c, 1)
     CB     = C_c @ B_c^T                (MXU, shared over the tile)
-    M_h    = CB * exp(cums_i - cums_j) * [i >= j]      (c, c)
-    Y_h    = M_h @ (dt*x)_h  +  (C_c @ stateT_h) * exp(cums_h)
-    stateT_h' = exp(w_tot_h) * stateT_h
-                + B_c^T @ ((dt*x)_h * exp(w_tot_h - cums_h))
+    M      = CB * exp(cums_i - cums_j) * [i >= j]      (c, c)
+    Y_h    = M @ (dt*x)_h  +  (C_c @ stateT_h) * exp(cums)
+    stateT_h' = exp(w_tot) * stateT_h
+                + B_c^T @ ((dt*x)_h * exp(w_tot - cums))
 
+Layouts are head-major so every Pallas block keeps its trailing dims equal
+to the array dims (Mosaic requirement): x/y (b, KR, Lp, P), dt
+(b, KR, Lp, 1), B/C (b, K, Lp, N), states (R_t*N, P) stacked on sublanes.
 States are carried transposed — stateT (N, P) — so both the read-out
 (C @ stateT) and the update (B^T @ dtx, a dot_general contracting rows)
 are MXU ops with no in-kernel transposes; the (c, c) outer differences
@@ -32,8 +36,8 @@ Sequence lengths that don't divide the chunk are zero-padded in-kernel
 scan geometries (L = 49/196/784) keep the full 64-wide chunk instead of
 degrading to chunk 1/4/16 like the reference's halving rule.
 
-Forward-only: the model-level custom VJP recomputes through the XLA
-formulation (`ops/ssd.py`), whose autodiff is the tested gradient path.
+Forward-only: the model-level dispatch keeps the XLA formulation for
+training (`ops/ssd.py`), whose autodiff is the tested gradient path.
 """
 
 from __future__ import annotations
@@ -52,26 +56,28 @@ _NEG = -1e30
 
 
 def _head_tile(R: int, P: int) -> int:
-    """Largest divisor of R with R_t * P <= 128 lanes."""
+    """Largest divisor of R with R_t * P <= 512 lanes-equivalent of VMEM
+    per-tile working set (tiles are processed per-head; R_t only sets how
+    many heads share one grid step)."""
     for t in (8, 6, 4, 3, 2, 1):
-        if R % t == 0 and t * P <= 128:
+        if R % t == 0 and t * P <= 512:
             return t
     return 1
 
 
-def _ssd_kernel(L, c, P, R_t, out_dtype,
+def _ssd_kernel(L, c, P, N, R_t, out_dtype,
                 x_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                 init_ref, y_ref, fin_ref, state_ref):
     """One grid step = R_t heads of one direction group, all chunks serial.
 
-    Block shapes (leading grid-mapped dims already 1-sized):
-      x_ref   (1, Lp, R_t*P)    dt_ref (1, Lp, R_t)
-      B_ref/C_ref (1, Lp, N)    A_ref/bias_ref (1, R_t)
-      D_ref   (1, R_t*P)        init_ref/fin_ref (1, N, R_t*P)
-      y_ref   (1, Lp, R_t*P)    state_ref VMEM scratch (N, R_t*P) f32
+    Block shapes:
+      x_ref/y_ref (1, R_t, Lp, P)    dt_ref (1, R_t, Lp, 1)
+      B_ref/C_ref (1, 1, Lp, N)      A_ref/bias_ref (1, 1, R_t)
+      D_ref (1, R_t, P)              init_ref/fin_ref (1, R_t*N, P)
+      state_ref VMEM scratch (R_t*N, P) f32
     """
     f32 = jnp.float32
-    Lp = x_ref.shape[1]
+    Lp = x_ref.shape[2]
     nc = Lp // c
 
     state_ref[...] = init_ref[0].astype(f32)
@@ -83,58 +89,48 @@ def _ssd_kernel(L, c, P, R_t, out_dtype,
     ones_col = jnp.ones((c, 1), f32)
     ones_row = jnp.ones((1, c), f32)
 
-    A_row = A_ref[0:1, :].astype(f32)             # (1, R_t)
-    bias_row = bias_ref[0:1, :].astype(f32)
-
     def chunk_body(i, _):
         off = pl.multiple_of(i * c, c)
         row = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + off
         valid = (row < L).astype(f32)             # (c, 1)
 
-        dt_raw = dt_ref[0, pl.ds(off, c), :].astype(f32)       # (c, R_t)
-        dt = jax.nn.softplus(dt_raw + bias_row) * valid
-        w = dt * A_row                                          # (c, R_t)
-        cums = jax.lax.dot(lt_ones, w, preferred_element_type=f32)
-
-        xc = x_ref[0, pl.ds(off, c), :].astype(f32)             # (c, R_t*P)
-        Bc = B_ref[0, pl.ds(off, c), :].astype(f32)             # (c, N)
-        Cc = C_ref[0, pl.ds(off, c), :].astype(f32)             # (c, N)
-
+        Bc = B_ref[0, 0, pl.ds(off, c), :].astype(f32)          # (c, N)
+        Cc = C_ref[0, 0, pl.ds(off, c), :].astype(f32)          # (c, N)
         CB = jax.lax.dot_general(Cc, Bc, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)    # (c, c)
 
-        st = state_ref[...]                                     # (N, R_t*P)
-        y_all = []
-        fin_all = []
         for h in range(R_t):
-            sl = slice(h * P, (h + 1) * P)
-            ch = cums[:, h:h + 1]                               # (c, 1)
-            wt = cums[c - 1:c, h:h + 1]                         # (1, 1)
+            ssl = slice(h * N, (h + 1) * N)
+            dt_raw = dt_ref[0, h, pl.ds(off, c), :].astype(f32)  # (c, 1)
+            dt = jax.nn.softplus(
+                dt_raw + bias_ref[0, 0:1, h:h + 1].astype(f32)) * valid
+            w = dt * A_ref[0, 0:1, h:h + 1].astype(f32)          # (c, 1)
+            ch = jax.lax.dot(lt_ones, w, preferred_element_type=f32)
+            wt = ch[c - 1:c, :]                                  # (1, 1)
             # outer differences without transposes: cums_i - cums_j
             S = (jax.lax.dot(ch, ones_row, preferred_element_type=f32)
                  - jax.lax.dot_general(ones_col, ch,
                                        (((1,), (1,)), ((), ())),
                                        preferred_element_type=f32))
-            M = CB * jnp.exp(jnp.where(lt, S, _NEG))            # (c, c)
-            dtx = xc[:, sl] * dt[:, h:h + 1]                    # (c, P)
+            M = CB * jnp.exp(jnp.where(lt, S, _NEG))             # (c, c)
+
+            xc = x_ref[0, h, pl.ds(off, c), :].astype(f32)       # (c, P)
+            dtx = xc * dt                                        # (c, P)
             y_h = jax.lax.dot(M, dtx, preferred_element_type=f32)
-            # inter-chunk: read out the carried state
-            y_h = y_h + jax.lax.dot(Cc, st[:, sl],
+            st_h = state_ref[ssl, :]                             # (N, P)
+            y_h = y_h + jax.lax.dot(Cc, st_h,
                                     preferred_element_type=f32) \
                 * jnp.exp(ch)
-            # state update (contract over chunk rows; no transpose)
-            st_h = st[:, sl] * jnp.exp(wt) \
+            # state update (contract over chunk rows; no transpose).
+            # (1,1)->(N,1) then lane-broadcast: Mosaic has no dual-axis
+            # broadcast of a scalar vector.
+            e_wt = jnp.exp(jnp.broadcast_to(wt, (N, 1)))
+            state_ref[ssl, :] = st_h * e_wt \
                 + jax.lax.dot_general(Bc, dtx * jnp.exp(wt - ch),
                                       (((0,), (0,)), ((), ())),
                                       preferred_element_type=f32)
-            y_all.append(y_h)
-            fin_all.append(st_h)
-        y_c = jnp.concatenate(y_all, axis=1) if R_t > 1 else y_all[0]
-        st_new = (jnp.concatenate(fin_all, axis=1) if R_t > 1
-                  else fin_all[0])
-        state_ref[...] = st_new
-        y_c = y_c + xc * D_ref[0:1, :].astype(f32)
-        y_ref[0, pl.ds(off, c), :] = y_c.astype(out_dtype)
+            y_h = y_h + xc * D_ref[0, h:h + 1, :].astype(f32)
+            y_ref[0, h, pl.ds(off, c), :] = y_h.astype(out_dtype)
         return 0
 
     jax.lax.fori_loop(0, nc, chunk_body, 0)
@@ -145,43 +141,41 @@ def _ssd_kernel(L, c, P, R_t, out_dtype,
                                               "interpret", "vmem_mb"))
 def _ssd_call(x, dt, Bg, Cg, A2, bias2, D2, initT, K, R_t, chunk,
               interpret=False, vmem_mb=100):
-    """Flat-layout entry.
+    """Head-major entry.
 
-    x     (b, L, KR*P)   heads (k, r, p)-ordered on the last axis
-    dt    (b, L, KR)
-    Bg/Cg (b, L, K*N)    per-group B/C, groups on the last axis
-    A2/bias2 (K*nt, R_t) per-head decay rate / dt bias, tiled rows
-    D2    (K*nt, R_t*P)
-    initT (b*K*nt, N, R_t*P)  initial stateT per head tile
-    Returns y (b, L, KR*P) in x.dtype, fin (b*K*nt, N, R_t*P) f32.
+    x     (b, KR, L, P)
+    dt    (b, KR, L, 1)
+    Bg/Cg (b, K, L, N)
+    A2/bias2 (K*nt, 1, R_t)
+    D2    (K*nt, R_t, P)
+    initT (b*K*nt, R_t*N, P)
+    Returns y (b, KR, L, P) in x.dtype, fin (b*K*nt, R_t*N, P) f32.
     """
-    b, L, KRP = x.shape
-    KR = dt.shape[2]
-    P = KRP // KR
+    b, KR, L, P = x.shape
     R = KR // K
     nt = R // R_t
-    N = Bg.shape[2] // K
-    TP = R_t * P
+    N = Bg.shape[3]
     Lp = ((L + chunk - 1) // chunk) * chunk
     if Lp != L:
-        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
-        dt = jnp.pad(dt, ((0, 0), (0, Lp - L), (0, 0)))
-        Bg = jnp.pad(Bg, ((0, 0), (0, Lp - L), (0, 0)))
-        Cg = jnp.pad(Cg, ((0, 0), (0, Lp - L), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+        Bg = jnp.pad(Bg, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+        Cg = jnp.pad(Cg, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
 
-    kernel = functools.partial(_ssd_kernel, L, chunk, P, R_t, x.dtype)
-    blk_x = pl.BlockSpec((1, Lp, TP), lambda bb, k, t: (bb, 0, k * nt + t),
+    kernel = functools.partial(_ssd_kernel, L, chunk, P, N, R_t, x.dtype)
+    blk_x = pl.BlockSpec((1, R_t, Lp, P),
+                         lambda bb, k, t: (bb, k * nt + t, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_dt = pl.BlockSpec((1, Lp, R_t),
-                          lambda bb, k, t: (bb, 0, k * nt + t),
+    blk_dt = pl.BlockSpec((1, R_t, Lp, 1),
+                          lambda bb, k, t: (bb, k * nt + t, 0, 0),
                           memory_space=pltpu.VMEM)
-    blk_BC = pl.BlockSpec((1, Lp, N), lambda bb, k, t: (bb, 0, k),
+    blk_BC = pl.BlockSpec((1, 1, Lp, N), lambda bb, k, t: (bb, k, 0, 0),
                           memory_space=pltpu.VMEM)
-    blk_A = pl.BlockSpec((1, R_t), lambda bb, k, t: (k * nt + t, 0),
+    blk_A = pl.BlockSpec((1, 1, R_t), lambda bb, k, t: (k * nt + t, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_D = pl.BlockSpec((1, TP), lambda bb, k, t: (k * nt + t, 0),
+    blk_D = pl.BlockSpec((1, R_t, P), lambda bb, k, t: (k * nt + t, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_st = pl.BlockSpec((1, N, TP),
+    blk_st = pl.BlockSpec((1, R_t * N, P),
                           lambda bb, k, t: (bb * K * nt + k * nt + t, 0, 0),
                           memory_space=pltpu.VMEM)
 
@@ -191,24 +185,26 @@ def _ssd_call(x, dt, Bg, Cg, A2, bias2, D2, initT, K, R_t, chunk,
         in_specs=[blk_x, blk_dt, blk_BC, blk_BC, blk_A, blk_A, blk_D,
                   blk_st],
         out_specs=[blk_x, blk_st],
-        out_shape=[jax.ShapeDtypeStruct((b, Lp, KRP), x.dtype),
-                   jax.ShapeDtypeStruct((b * K * nt, N, TP), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((N, TP), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b, KR, Lp, P), x.dtype),
+                   jax.ShapeDtypeStruct((b * K * nt, R_t * N, P),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((R_t * N, P), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(x, dt, Bg, Cg, A2, bias2, D2, initT)
-    return y[:, :L, :], fin
+    return y[:, :, :L, :], fin
 
 
 def ssd_supported(L, h, p, n, g, chunk=64):
     """Geometry gate for the Pallas path."""
-    if h % g or n % 8 or n > 512 or p < 8 or p > 128 or chunk % 8:
+    if h % g or n % 8 or n > 512 or p % 8 or p > 128 or chunk % 8:
         return False
     R = h // g
     R_t = _head_tile(R, p)
     Lp = ((L + chunk - 1) // chunk) * chunk
-    est = (2 * Lp * R_t * p + 2 * Lp * n) * 4
+    # per-grid-step working set: x/y head tiles + B/C + state
+    est = (2 * Lp * R_t * p + 2 * Lp * n + R_t * n * p) * 4
     return est < 60 * 1024 * 1024
 
 
@@ -234,20 +230,20 @@ def ssd_chunk_scan_pallas(x, dt, A, B, C, chunk_size, D=None, dt_bias=None,
     init = (jnp.zeros((b, h, p, n), jnp.float32) if initial_states is None
             else initial_states.astype(jnp.float32))
 
-    # stateT layout: (b*K*nt, N, R_t*P), heads within a tile on lanes
+    # stateT layout: heads stacked on sublanes, (b*K*nt, R_t*N, P)
     initT = jnp.swapaxes(init, 2, 3)                    # (b, h, n, p)
-    initT = initT.reshape(b, g, nt, R_t, n, p)
-    initT = jnp.moveaxis(initT, 3, 4).reshape(b * g * nt, n, R_t * p)
+    initT = initT.reshape(b * g * nt, R_t * n, p)
 
     y, fin = _ssd_call(
-        x.reshape(b, s, h * p), dt,
-        B.reshape(b, s, g * n), C.reshape(b, s, g * n),
-        A.astype(jnp.float32).reshape(g * nt, R_t),
-        biasv.reshape(g * nt, R_t),
-        Dm.reshape(g * nt, R_t * p),
+        jnp.swapaxes(x, 1, 2),                          # (b, h, s, p)
+        jnp.swapaxes(dt, 1, 2)[..., None],              # (b, h, s, 1)
+        jnp.swapaxes(B, 1, 2),                          # (b, g, s, n)
+        jnp.swapaxes(C, 1, 2),
+        A.astype(jnp.float32).reshape(g * nt, 1, R_t),
+        biasv.reshape(g * nt, 1, R_t),
+        Dm.reshape(g * nt, R_t, p),
         initT, K=g, R_t=R_t, chunk=chunk_size, interpret=interpret)
 
-    fin = fin.reshape(b, g, nt, n, R_t, p)
-    fin = jnp.moveaxis(fin, 4, 3).reshape(b, h, n, p)
+    fin = fin.reshape(b, h, n, p)
     fin = jnp.swapaxes(fin, 2, 3)                       # (b, h, p, n)
-    return y.reshape(b, s, h, p), fin
+    return jnp.swapaxes(y, 1, 2), fin
