@@ -133,12 +133,14 @@ def ssd_chunk_scan(x, dt, A, B, C, chunk_size, D=None, z=None, dt_bias=None,
     # 1. intra-chunk (diagonal blocks): one big MXU contraction per term
     Lmask = jnp.exp(segsum(wc))                # (b, h, nc, l, l)
     Y_diag = jnp.einsum("bclhn,bcshn,bhcls,bcshp->bclhp",
-                        Cc, Bc, Lmask, X, optimize=True)
+                        Cc, Bc, Lmask, X, optimize=True,
+                        precision=jax.lax.Precision.HIGH)
 
     # 2. per-chunk end states
     decay_states = jnp.exp(w_cumsum[..., -1:] - w_cumsum)   # (b, h, nc, l)
     states = jnp.einsum("bclhn,bhcl,bclhp->bchpn",
-                        Bc, decay_states, X, optimize=True)
+                        Bc, decay_states, X, optimize=True,
+                        precision=jax.lax.Precision.HIGH)
 
     # 3. inter-chunk state passing (O(nc²) matmul over chunk boundaries)
     if initial_states is None:
@@ -149,13 +151,15 @@ def ssd_chunk_scan(x, dt, A, B, C, chunk_size, D=None, z=None, dt_bias=None,
     chunk_decay = jnp.pad(w_cumsum[..., -1], ((0, 0), (0, 0), (1, 0)))
     decay_chunk = jnp.exp(segsum(chunk_decay))               # (b,h,nc+1,nc+1)
     new_states = jnp.einsum("bhzc,bchpn->bzhpn", decay_chunk, states,
-                            optimize=True)
+                            optimize=True,
+                        precision=jax.lax.Precision.HIGH)
     states, final_state = new_states[:, :-1], new_states[:, -1]
 
     # 4. state -> output within each chunk
     state_decay_out = jnp.exp(w_cumsum)                      # (b, h, nc, l)
     Y_off = jnp.einsum("bclhn,bchpn,bhcl->bclhp",
-                       Cc, states, state_decay_out, optimize=True)
+                       Cc, states, state_decay_out, optimize=True,
+                        precision=jax.lax.Precision.HIGH)
 
     y = (Y_diag + Y_off).reshape(b, s, h, p)
     if D is not None:

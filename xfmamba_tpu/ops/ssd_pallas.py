@@ -99,19 +99,29 @@ def _ssd_kernel(L, c, P, N, R_t, out_dtype,
         CB = jax.lax.dot_general(Cc, Bc, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)    # (c, c)
 
+        # Precision: the cumsum and outer-difference dots feed an EXPONENT
+        # (decay sums can reach ~50) — single-pass-bf16 MXU quantization
+        # there turns into ~10% multiplicative error, so they run at
+        # HIGHEST (Mosaic supports only DEFAULT/HIGHEST).  The data dots
+        # (CB, M@dtx, C@state, B^T@dtx) stay at the MXU's native pass
+        # precision, matching the reference Triton kernels' tensor-core
+        # matmuls (~2e-3 on y, bounded by the on-device parity test).
         for h in range(R_t):
             ssl = slice(h * N, (h + 1) * N)
             dt_raw = dt_ref[0, h, pl.ds(off, c), :].astype(f32)  # (c, 1)
             dt = jax.nn.softplus(
                 dt_raw + bias_ref[0, 0:1, h:h + 1].astype(f32)) * valid
             w = dt * A_ref[0, 0:1, h:h + 1].astype(f32)          # (c, 1)
-            ch = jax.lax.dot(lt_ones, w, preferred_element_type=f32)
+            ch = jax.lax.dot(lt_ones, w, preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST)
             wt = ch[c - 1:c, :]                                  # (1, 1)
             # outer differences without transposes: cums_i - cums_j
-            S = (jax.lax.dot(ch, ones_row, preferred_element_type=f32)
+            S = (jax.lax.dot(ch, ones_row, preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST)
                  - jax.lax.dot_general(ones_col, ch,
                                        (((1,), (1,)), ((), ())),
-                                       preferred_element_type=f32))
+                                       preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST))
             M = CB * jnp.exp(jnp.where(lt, S, _NEG))             # (c, c)
 
             xc = x_ref[0, h, pl.ds(off, c), :].astype(f32)       # (c, P)
