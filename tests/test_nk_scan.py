@@ -186,3 +186,25 @@ def test_nk_scan_v3_group_isolation():
     y4 = nk_scan_call_v3(*args, group=4, interpret=True)
     np.testing.assert_allclose(np.asarray(y4), np.asarray(y1),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi", "bidi"])
+def test_nk_scan_v4_matches_composable(scan_mode):
+    """Inline-a/b nk kernel (`nk_scan_v4.nk_scan_from_projs` path via the
+    v2 dispatcher at G=8) vs the composable oracle, N=4."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_from_projs_v2
+    import xfmamba_tpu.ops.nk_scan_v4 as V4
+    B, H, W, D, K, N = 8, 4, 8, 16, 4, 4
+    x, dts, Bs, Cs, A, Dmat, bias = _projs(7, B, H, W, D, K, N)
+    y_ref = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                 scan_mode=scan_mode,
+                                 scan_impl=selective_scan)
+    V4.FUSED_V4 = True
+    try:
+        y_k = nk_scan_from_projs_v2(x, dts, Bs, Cs, A, Dmat, bias,
+                                    scan_mode=scan_mode, group=8,
+                                    interpret=True)
+    finally:
+        V4.FUSED_V4 = False
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)

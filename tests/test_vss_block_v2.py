@@ -55,6 +55,30 @@ def test_v2_matches_flax_block(H, W, G, d, conv_bias, mlp):
                                np.asarray(y_flax), rtol=2e-5, atol=2e-5)
 
 
+def test_v2_rowseg_ablation_matches_flax_block():
+    """ROW_SEG=True (two-segment row chains + cumprod fix-up, off by
+    default — measured slower, see module comment) stays numerically
+    correct.  Geometry chosen so the segmented path actually engages
+    (T = L*G/8 even and >= 8)."""
+    from xfmamba_tpu.ops import vss_block_pallas_v2 as V
+    H, W, G, d = 8, 16, 1, 32
+    B = 2
+    blk, variables, x = _make_block(d, H, W, B, False, 4.0)
+    y_flax = blk.apply(variables, x)
+    p = variables["params"]
+    xl = x.reshape(B, H * W, d)
+    args = pack_vss_block_params(p, jnp.float32, True)
+    old = V.ROW_SEG
+    try:
+        V.ROW_SEG = True
+        y_k = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=False,
+                                 fuse_mlp=True, interpret=True, group=G)
+    finally:
+        V.ROW_SEG = old
+    np.testing.assert_allclose(np.asarray(y_k).reshape(y_flax.shape),
+                               np.asarray(y_flax), rtol=2e-5, atol=2e-5)
+
+
 def test_v2_matches_ref_mirror():
     """Direct comparison against vss_block_ref at a geometry where the
     column chain spans multiple HS stages (W=14)."""

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xfmamba_tpu.ops.vss_block_pallas_v2 import (
-    _chain_cols, _interleave, nk_scan_v2_kind_pairs)
+    _chain_cols, _interleave, _softplus, nk_scan_v2_kind_pairs)
 
 # one-hot MXU matmul vs lane-broadcast loop for the Bs/Cs state expansion
 _USE_MXU_EXPAND = False
@@ -55,7 +55,7 @@ def _nk_scan_kernel_v3(H, W, G, K, N, kinds, out_dtype,
         """Lane-widened (a, b) for `size` rows of direction k.
         A rows are pre-scaled by log2(e) host-side: a = exp2(dt * A~)."""
         dt = dts_ref[0, pl.ds(base, size), k * D:(k + 1) * D].astype(f32)
-        dt = jax.nn.softplus(dt + bias_ref[k:k + 1, :])
+        dt = _softplus(dt + bias_ref[k:k + 1, :])
         u_t = u_ref[0, pl.ds(base, size), :].astype(f32)
         dtu = dt * u_t
         dt_w = jnp.concatenate([dt] * N, axis=1)

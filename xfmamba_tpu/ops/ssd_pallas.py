@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xfmamba_tpu.ops.vss_block_pallas import _softplus
+
 # kill switch: route ssd_chunk_scan through the Pallas kernel on TPU
 FUSED_SSD = True
 
@@ -109,7 +111,7 @@ def _ssd_kernel(L, c, P, N, R_t, out_dtype,
         for h in range(R_t):
             ssl = slice(h * N, (h + 1) * N)
             dt_raw = dt_ref[0, h, pl.ds(off, c), :].astype(f32)  # (c, 1)
-            dt = jax.nn.softplus(
+            dt = _softplus(
                 dt_raw + bias_ref[0, 0:1, h:h + 1].astype(f32)) * valid
             w = dt * A_ref[0, 0:1, h:h + 1].astype(f32)          # (c, 1)
             ch = jax.lax.dot(lt_ones, w, preferred_element_type=f32,

@@ -247,6 +247,16 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
+def _softplus(z):
+    """``torch.nn.functional.softplus`` semantics (threshold 20): the
+    reference CUDA/Triton kernels compute exactly ``z if z > 20 else
+    log1p(exp(z))`` (`selective_scan_fwd_kernel.cuh`), and this form is
+    ~3 Mosaic ops cheaper than ``jax.nn.softplus``'s logaddexp lowering
+    (measured 3.2 ms over the 15-block stage-2 pass at bs64).  The
+    ``minimum`` keeps the unselected exp branch finite."""
+    return jnp.where(z > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(z, 20.0))))
+
+
 # ---------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------
@@ -311,7 +321,7 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
         rank_k = xdbl_mm[:, k * R:(k + 1) * R]                  # (L, R)
         dt = jax.lax.dot(rank_k, w_dt_ref[k * R:(k + 1) * R, :],
                          preferred_element_type=f32)            # (L, di)
-        dt = jax.nn.softplus(dt + b_dt_ref[k:k + 1, :].astype(f32))
+        dt = _softplus(dt + b_dt_ref[k:k + 1, :].astype(f32))
         Bk = jnp.broadcast_to(xdbl[:, 4 * R + 2 * k:4 * R + 2 * k + 1],
                               u.shape)
         Ck = jnp.broadcast_to(xdbl[:, 4 * R + 2 * k + 1:4 * R + 2 * k + 2],
@@ -481,7 +491,7 @@ def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None,
         dt = jnp.einsum("blr,re->ble",
                         xdbl[:, :, k * R:(k + 1) * R].astype(mm_dtype),
                         w_dt[k * R:(k + 1) * R], preferred_element_type=f32)
-        dt = jax.nn.softplus(dt + b_dt[k])
+        dt = _softplus(dt + b_dt[k])
         Bk = xdbl[:, :, 4 * R + 2 * k:4 * R + 2 * k + 1]
         Ck = xdbl[:, :, 4 * R + 2 * k + 1:4 * R + 2 * k + 2]
         a = jnp.exp(dt * A[k])
@@ -630,7 +640,7 @@ def _nk_scan_kernel(H, W, G, K, N, kinds, use_roll, out_dtype,
     y = u * Dsum_ref[...].astype(f32)
     for k in range(K):
         dt = dts_ref[0][:, k * D:(k + 1) * D].astype(f32)
-        dt = jax.nn.softplus(dt + bias_ref[k:k + 1, :].astype(f32))
+        dt = _softplus(dt + bias_ref[k:k + 1, :].astype(f32))
         dtu = dt * u
         for n in range(N):
             a_row = A_ref[k * N + n:k * N + n + 1, :].astype(f32)  # (1, D)

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xfmamba_tpu.ops.vss_block_pallas import (
-    _erf_approx, _gelu_exact, _shift0)
+    _erf_approx, _gelu_exact, _shift0, _softplus)
 from xfmamba_tpu.ops import vss_block_pallas as _vbp
 from xfmamba_tpu.ops.vss_block_pallas_v2 import (
     _chain_cols, _serial_col_pair, _serial_row_pair)
@@ -178,7 +178,7 @@ def _vss_block_bwd_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
         z = jax.lax.dot(rank_k, w_dt_ref[k * R:(k + 1) * R, :],
                         preferred_element_type=f32) \
             + b_dt_ref[k:k + 1, :].astype(f32)
-        dt = jax.nn.softplus(z)
+        dt = _softplus(z)
         Bk = xdbl[:, 4 * R + 2 * k:4 * R + 2 * k + 1]
         Ak = A_ref[k:k + 1, :].astype(f32)
         a = jnp.exp(dt * Ak)
