@@ -80,7 +80,12 @@ def test_fit_loss_decreases(tmp_path):
     assert np.isfinite(stats["loss"])
 
 
+@pytest.mark.slow
 def test_multilabel_metrics_path():
+    # XLA:CPU takes ~4 min to compile the multilabel train-step backward at
+    # even the tiny geometry, so the full-fit flow lives in the slow tier;
+    # the unique fast-tier coverage (per-label AUC aggregation through
+    # run_eval_epoch) is test_multilabel_eval_metrics below.
     cfg = TrainConfig(lr=3e-4, epochs=1, num_tasks=14, dataset="chexpert",
                       log_every=0)
     model = tiny_model().clone(outputs=3)
@@ -89,6 +94,30 @@ def test_multilabel_metrics_path():
                          log_fn=lambda *a: None, save_checkpoints=False,
                          out_dir="/tmp/xfm_test_ml")
     assert "auc" in history[0]["val"]
+
+
+def test_multilabel_eval_metrics():
+    """Multilabel (CheXpert-style) eval path without compiling a train step:
+    run_eval_epoch honors n_valid padding and produces the sigmoid per-label
+    mean AUC surface (`training.py:205-214` semantics)."""
+    loader = SyntheticLoader(n_batches=2, n_classes=3, multilabel=True)
+    rng = np.random.default_rng(0)
+
+    def stub_eval_step(state, batch):
+        lab = batch["label"]
+        # informative logits: label + noise, so AUC is finite and > 0.5
+        logits = 2.0 * np.asarray(lab) - 1.0 + 0.2 * rng.standard_normal(
+            lab.shape)
+        return {"loss": jnp.asarray(0.5), "logits": jnp.asarray(logits)}
+
+    # mark one batch as padded to exercise the n_valid slicing
+    loader.batches[1]["n_valid"] = 2
+    stats, logits, labels = run_eval_epoch(stub_eval_step, None, loader,
+                                           multilabel=True)
+    assert logits.shape[0] == labels.shape[0] == 4 + 2
+    assert 0.5 < stats["auc"] <= 1.0
+    assert len(stats["per_label_auc"]) == 3
+    assert np.isfinite(stats["loss"])
 
 
 def test_roc_auc_matches_sklearn():
