@@ -1,48 +1,60 @@
+"""Per-component TRAINING-grad decomposition on the real TPU (bs 16).
+
+All applies use deterministic=False so the measured path is the one the
+train step actually takes (fused v2 fwd + block adjoint kernel for the
+backbone blocks, composable scans for the fusion ops).
+"""
 import sys
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 sys.path.insert(0, "/root/repo/scripts")
 from chain_timer import chain_time
 from xfmamba_tpu.models.fusion import CrossSS2Dv5, ShallowFuseSS2Dv4
 from xfmamba_tpu.models.vssm import VSSBlock
-from xfmamba_tpu.models.tops import _make_backbone
 
 B = 16
 key = jax.random.key(0)
 z = jnp.ones((B, 7, 7, 768), jnp.bfloat16)
+RNGS = {"dropout": jax.random.key(1)}
 
 cf = CrossSS2Dv5(d_model=768, d_state=16, dtype=jnp.bfloat16)
 vc = cf.init(jax.random.key(0), z, z)
 
 def loss_cf(p, a, b):
-    return (cf.apply({"params": p}, a, b).astype(jnp.float32) ** 2).sum()
+    y = cf.apply({"params": p}, a, b, deterministic=False, rngs=RNGS)
+    return (y.astype(jnp.float32) ** 2).sum()
 g_cf = jax.grad(loss_cf)
 t = chain_time(lambda a, b: jax.tree_util.tree_leaves(
     g_cf(vc["params"], a, b))[0], [z, z])
-print(f"CrossSS2Dv5 grad: {t*1e3:.1f} ms")
+print(f"CrossSS2Dv5 grad: {t*1e3:.2f} ms", flush=True)
 
 sf = ShallowFuseSS2Dv4(d_model=768, d_state=16, dtype=jnp.bfloat16)
 vs = sf.init(jax.random.key(0), z, z)
 
 def loss_sf(p, a, b):
-    y1, y2 = sf.apply({"params": p}, a, b)
-    return (y1.astype(jnp.float32) ** 2).sum() + (y2.astype(jnp.float32) ** 2).sum()
+    y1, y2 = sf.apply({"params": p}, a, b, deterministic=False, rngs=RNGS)
+    return (y1.astype(jnp.float32) ** 2).sum() + \
+        (y2.astype(jnp.float32) ** 2).sum()
 g_sf = jax.grad(loss_sf)
 t = chain_time(lambda a, b: jax.tree_util.tree_leaves(
     g_sf(vs["params"], a, b))[0], [z, z])
-print(f"ShallowFuse grad: {t*1e3:.1f} ms")
+print(f"ShallowFuse grad: {t*1e3:.2f} ms", flush=True)
 
-# one stage-0 and one stage-2 VSSBlock grad
-for hw, dm in [(56, 96), (14, 384)]:
+# one training-grad per stage geometry; scale by 2 views x depth
+for hw, dm, depth in [(56, 96, 2), (28, 192, 2), (14, 384, 15), (7, 768, 2)]:
     blk = VSSBlock(hidden_dim=dm, ssm_d_state=1, ssm_ratio=2.0,
                    ssm_conv_bias=False, forward_type="v05_noz",
                    mlp_ratio=4.0, dtype=jnp.bfloat16)
-    xin = jax.random.normal(key, (B, hw, hw, dm), jnp.bfloat16)
+    # 2 views ride one stacked 2B batch in the real model
+    xin = jax.random.normal(key, (2 * B, hw, hw, dm), jnp.bfloat16)
     v = blk.init(jax.random.key(1), xin)
 
     def loss_b(p, a, blk=blk):
-        return (blk.apply({"params": p}, a).astype(jnp.float32) ** 2).sum()
+        y = blk.apply({"params": p}, a, deterministic=False, rngs=RNGS)
+        return (y.astype(jnp.float32) ** 2).sum()
     gb = jax.grad(loss_b)
     t = chain_time(lambda a, gb=gb, v=v: jax.tree_util.tree_leaves(
         gb(v["params"], a))[0], [xin])
-    print(f"VSSBlock {hw}x{hw} d={dm} grad: {t*1e3:.2f} ms")
+    print(f"VSSBlock {hw}x{hw} d={dm} grad (2B batch): {t*1e3:.2f} ms"
+          f"  x{depth} = {t*1e3*depth:.1f} ms", flush=True)
