@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from scripts.chain_timer import chain_time  # noqa: E402
-from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3  # noqa: E402
+from xfmamba_tpu.ops.ablations.nk_scan_wide import nk_scan_call_v3  # noqa: E402
 from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_call_v2  # noqa
 
 

@@ -6,7 +6,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from scripts.chain_timer import chain_time
 from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_call_v2
-from xfmamba_tpu.ops.nk_scan_v4 import nk_scan_call_v4
+from xfmamba_tpu.ops.ablations.nk_scan_v4 import nk_scan_call_v4
 
 B, H, W = 192, 7, 7          # 3 streams x bs64
 D, K, N = 1536, 4, 16
@@ -22,7 +22,7 @@ Dvec = jnp.ones((K, D), jnp.float32)
 bias = jnp.zeros((K, D), jnp.float32)
 kinds = ("row_f", "col_f", "row_r", "col_r")
 
-import xfmamba_tpu.ops.nk_scan_v4 as V4
+import xfmamba_tpu.ops.ablations.nk_scan_v4 as V4
 for name, fn in (("v2", nk_scan_call_v2), ("v4", nk_scan_call_v4)) * 3:
     if name == "v2":
         V4.FUSED_V4 = False      # keep the v2 dispatch honest

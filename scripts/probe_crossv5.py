@@ -45,7 +45,7 @@ def main():
     Dmat = p["Ds"].astype(jnp.float32).reshape(K, d_inner)
     bias = p["dt_projs_bias"].astype(jnp.float32)
 
-    from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3
+    from xfmamba_tpu.ops.ablations.nk_scan_wide import nk_scan_call_v3
 
     def v3(xc, dts_c, Bs_c, Cs_sub, A, Dmat, bias, scan_mode="cross2d"):
         Bx, Hx, Wx, Dx = xc.shape

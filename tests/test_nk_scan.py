@@ -148,7 +148,7 @@ def test_nk_scan_v2_shallowfuse_pattern():
 def test_nk_scan_v3_matches_composable(scan_mode):
     """Wide-state nk kernel (`nk_scan_wide.nk_scan_call_v3`: all N states in
     one lane-folded chain) vs the composable oracle at a 128-aligned D."""
-    from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3
+    from xfmamba_tpu.ops.ablations.nk_scan_wide import nk_scan_call_v3
     B, H, W, D, K, N = 2, 4, 8, 128, 4, 4
     L = H * W
     x, dts, Bs, Cs, A, Dmat, bias = _projs(7, B, H, W, D, K, N)
@@ -173,7 +173,7 @@ def test_nk_scan_v3_matches_composable(scan_mode):
 
 def test_nk_scan_v3_group_isolation():
     """G=4 wide kernel must not leak state across grouped images."""
-    from xfmamba_tpu.ops.nk_scan_wide import nk_scan_call_v3
+    from xfmamba_tpu.ops.ablations.nk_scan_wide import nk_scan_call_v3
     B, H, W, D, K, N = 4, 2, 4, 128, 4, 2
     L = H * W
     x, dts, Bs, Cs, A, Dmat, bias = _projs(8, B, H, W, D, K, N)
@@ -193,7 +193,7 @@ def test_nk_scan_v4_matches_composable(scan_mode):
     """Inline-a/b nk kernel (`nk_scan_v4.nk_scan_from_projs` path via the
     v2 dispatcher at G=8) vs the composable oracle, N=4."""
     from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_from_projs_v2
-    import xfmamba_tpu.ops.nk_scan_v4 as V4
+    import xfmamba_tpu.ops.ablations.nk_scan_v4 as V4
     B, H, W, D, K, N = 8, 4, 8, 16, 4, 4
     x, dts, Bs, Cs, A, Dmat, bias = _projs(7, B, H, W, D, K, N)
     y_ref = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
