@@ -1,9 +1,16 @@
-"""Multi-host plumbing tests (single-process degenerate forms + the
-per-process data-sharding contract) on the 8-device virtual CPU mesh."""
+"""Multi-host plumbing tests: single-process degenerate forms, the
+per-process data-sharding contract, and a REAL 2-process run (localhost
+coordinator, 4 virtual CPU devices per process, Gloo collectives)."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xfmamba_tpu.data.loader import TwoViewLoader, TwoViewSamples
 from xfmamba_tpu.parallel.distributed import (
@@ -56,3 +63,60 @@ def test_loader_process_slice():
             np.concatenate([b0["image1"], b1["image1"]]), bf["image1"])
         np.testing.assert_array_equal(
             np.concatenate([b0["label"], b1["label"]]), bf["label"])
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process():
+    """VERDICT r2 item 4: actually execute the multi-process path.
+
+    Two subprocesses, 4 virtual CPU devices each, localhost coordinator:
+    `jax.distributed.initialize` bootstrap, the non-degenerate
+    `make_array_from_process_local_data` branch of
+    `host_local_batch_to_global`, and two GSPMD-sharded train steps whose
+    gradient psum crosses the process boundary (Gloo).  Both processes
+    must observe identical losses, and those must match the same program
+    run single-process on the 8-device local mesh."""
+    from tests import distributed_worker as dw
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(repo, "tests", "distributed_worker.py")
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                              env=env, cwd=repo, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("WORKER_LOSS")]
+        assert lines, f"no WORKER_LOSS line:\n{out}"
+        _, l0, l1 = lines[0].split()
+        losses.append((float(l0), float(l1)))
+    # identical across processes (same global program)
+    assert losses[0] == losses[1]
+
+    # single-process reference: same global batch, 8 local devices
+    from xfmamba_tpu.parallel.distributed import (
+        host_local_batch_to_global, make_global_mesh, process_batch_slice)
+    mesh = make_global_mesh()
+    full = dw.make_global_batch(8)
+    sl = process_batch_slice(8)  # degenerate: full range
+    batch = host_local_batch_to_global({k: v[sl] for k, v in full.items()},
+                                       mesh)
+    ref0, ref1 = dw.run_two_steps(mesh, batch)
+    np.testing.assert_allclose(losses[0], (ref0, ref1), rtol=2e-5)
+    # two optimizer steps actually moved the loss
+    assert losses[0][1] != losses[0][0]

@@ -44,8 +44,7 @@ def ensure_initialized(coordinator_address: Optional[str] = None,
     single-process runs (tests, one-chip benches) untouched.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
@@ -57,9 +56,18 @@ def ensure_initialized(coordinator_address: Optional[str] = None,
         process_id = int(env_pid)
     if coordinator_address is None and num_processes is None:
         return  # single process, nothing to do
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # NOTE: nothing before this point may touch the backend —
+    # `jax.process_count()`/`jax.devices()` initialize XLA, after which
+    # `jax.distributed.initialize` hard-fails (bug found by the real
+    # 2-process test: the old guard called process_count() first).
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # a launcher (e.g. a pod runtime) already initialized it — fine
+        if "once" not in str(e) and "already" not in str(e):
+            raise
     _initialized = True
 
 
