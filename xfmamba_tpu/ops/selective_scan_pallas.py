@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xfmamba_tpu.ops import fast_math as _fm
+
 
 def _shift_fwd(x, off, fill):
     """Read x[t-off] (identity-padded at the left edge)."""
@@ -114,7 +116,7 @@ def _scan_kernel(L, N, chunk, n_chunks,
                          keepdims=True)                        # (chunk, 1)
             Cn = jnp.sum(jnp.where(lane == n, Cfull, 0.0), axis=1,
                          keepdims=True)
-            a = jnp.exp(dt * a_n)
+            a = _fm.exp(dt * a_n)
             b = dt * u * Bn
             a = jnp.where(valid, a, 1.0)
             b = jnp.where(valid, b, 0.0)
@@ -193,7 +195,7 @@ def _scan_kernel_n1(L, chunk, n_chunks, out_dtype,
         Cn = C_ref[0, 0].astype(jnp.float32)
         valid = (base + row1) < L                          # (chunk, 1)
 
-        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        a = jnp.where(valid, _fm.exp(dt * a_row), 1.0)
         b = jnp.where(valid, dt * u * Bn, 0.0)
         a, b = _hillis_steele(a, b, chunk, reverse)
         h = b + a * carry[...]                             # (chunk, D)
@@ -343,7 +345,7 @@ def _scan_kernel_n1p(L, R, chunk, n_chunks, out_dtype,
              jnp.broadcast_to(bc[:, 3:4], (chunk, D))], axis=1)
         valid = (base + row1) < L
 
-        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        a = jnp.where(valid, _fm.exp(dt * a_row), 1.0)
         b = jnp.where(valid, dt * u * Bn, 0.0)
         a, b = _hillis_steele(a, b, chunk, reverse)
         h = b + a * carry[...]
@@ -502,7 +504,7 @@ def _scan_kernel_n1p_bwd(L, R, chunk, n_chunks,
             [jnp.broadcast_to(bc[:, 1:2], (chunk, D)),
              jnp.broadcast_to(bc[:, 3:4], (chunk, D))], axis=1)
 
-        a = jnp.where(valid, jnp.exp(dt * a_row), 1.0)
+        a = jnp.where(valid, _fm.exp(dt * a_row), 1.0)
         bvec = jnp.where(valid, dt * u * Bn, 0.0)
 
         # recompute h within the chunk from the checkpointed incoming state
@@ -877,7 +879,7 @@ def _grouped_scan_kernel(L, chunk, n_chunks, N, out_dtype, reverse,
     Bn = jnp.sum(jnp.where(lane == n, Bfull, 0.0), axis=1, keepdims=True)
     Cn = jnp.sum(jnp.where(lane == n, Cfull, 0.0), axis=1, keepdims=True)
 
-    a = jnp.where(valid, jnp.exp(dt * a_n), 1.0)
+    a = jnp.where(valid, _fm.exp(dt * a_n), 1.0)
     b = jnp.where(valid, dt * u * Bn, 0.0)
     a, b = _hillis_steele(a, b, chunk, reverse)
     h = b + a * carry[pl.ds(n, 1), :]
@@ -1032,7 +1034,7 @@ def _grouped_scan_kernel_bwd(L, chunk, n_chunks, K, N, reverse,
     Bn = jnp.sum(jnp.where(lane == n, Bfull, 0.0), axis=1, keepdims=True)
     Cn = jnp.sum(jnp.where(lane == n, Cfull, 0.0), axis=1, keepdims=True)
 
-    a = jnp.where(valid, jnp.exp(dt * a_n), 1.0)
+    a = jnp.where(valid, _fm.exp(dt * a_n), 1.0)
     bvec = jnp.where(valid, dt * u * Bn, 0.0)
     carry_in = carr_ref[0, 0, 0, pl.ds(n, 1), :]          # (1, C)
     a_s, b_s = _hillis_steele(a, bvec, chunk, reverse)

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xfmamba_tpu.ops import fast_math as _fm
+
 # global kill switch for every fused inference path (megakernel + nk scan);
 # lets tests/debugging A/B the composable implementations on TPU
 FUSED_INFERENCE = True
@@ -237,7 +239,7 @@ def _gelu_tanh(x):
     """PyTorch ``approximate='tanh'`` GELU: 0.5x(1+tanh(√(2/π)(x+0.044715x³)))
     with tanh(u) = 1 − 2/(e^{2u}+1) (Mosaic-safe: inf-clean at both tails)."""
     u2 = x * (1.5957691216057308 + 0.07135481627159839 * (x * x))  # 2u
-    t = 1.0 - 2.0 / (jnp.exp(u2) + 1.0)
+    t = 1.0 - 2.0 / (_fm.exp(u2) + 1.0)
     return 0.5 * x * (1.0 + t)
 
 
@@ -250,11 +252,21 @@ def _gelu_exact(x):
 def _softplus(z):
     """``torch.nn.functional.softplus`` semantics (threshold 20): the
     reference CUDA/Triton kernels compute exactly ``z if z > 20 else
-    log1p(exp(z))`` (`selective_scan_fwd_kernel.cuh`), and this form is
-    ~3 Mosaic ops cheaper than ``jax.nn.softplus``'s logaddexp lowering
-    (measured 3.2 ms over the 15-block stage-2 pass at bs64).  The
-    ``minimum`` keeps the unselected exp branch finite."""
-    return jnp.where(z > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(z, 20.0))))
+    log1p(exp(z))`` (`selective_scan_fwd_kernel.cuh`), ~3 Mosaic ops
+    cheaper than ``jax.nn.softplus``'s logaddexp lowering (measured
+    3.2 ms over the 15-block stage-2 pass at bs64).  Routed through the
+    `fast_math` dispatcher; its polynomial form measured 2x SLOWER than
+    the builtins (see `fast_math` docstring), so `FAST_EXP` is False and
+    this is the builtin threshold form."""
+    return _fm.softplus(z)
+
+
+def _exp(z):
+    """Decay exponential `exp(dt*A)` via the `fast_math` dispatcher
+    (`FAST_EXP=False`: Mosaic builtin; the polynomial exp2f-trick
+    analogue of `selective_scan_fwd_kernel.cuh:147-148` measured 2x
+    slower — see `fast_math`)."""
+    return _fm.exp(z)
 
 
 # ---------------------------------------------------------------------
@@ -326,7 +338,7 @@ def _vss_block_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype, out_dtype,
                               u.shape)
         Ck = jnp.broadcast_to(xdbl[:, 4 * R + 2 * k + 1:4 * R + 2 * k + 2],
                               u.shape)
-        a = jnp.exp(dt * A_ref[k:k + 1, :].astype(f32))
+        a = _exp(dt * A_ref[k:k + 1, :].astype(f32))
         b = dt * u * Bk
         h = _scan_direction(a, b, H, W, G, _DIR_KINDS[k], use_roll)
         y_acc = y_acc + Ck * h
@@ -494,7 +506,7 @@ def vss_block_ref(x, p, H, W, conv_bias, fuse_mlp, mm_dtype=None,
         dt = _softplus(dt + b_dt[k])
         Bk = xdbl[:, :, 4 * R + 2 * k:4 * R + 2 * k + 1]
         Ck = xdbl[:, :, 4 * R + 2 * k + 1:4 * R + 2 * k + 2]
-        a = jnp.exp(dt * A[k])
+        a = _exp(dt * A[k])
         b = dt * u * Bk
 
         # oracle scan: reorder to the traversal, lax.associative_scan, undo
@@ -646,7 +658,7 @@ def _nk_scan_kernel(H, W, G, K, N, kinds, use_roll, out_dtype,
             a_row = A_ref[k * N + n:k * N + n + 1, :].astype(f32)  # (1, D)
             Bkn = Bs_ref[0][:, k * N + n:k * N + n + 1].astype(f32)
             Ckn = Cs_ref[0][:, k * N + n:k * N + n + 1].astype(f32)
-            a = jnp.exp(dt * a_row)
+            a = _exp(dt * a_row)
             b = dtu * Bkn
             h = _scan_direction(a, b, H, W, G, kinds[k], use_roll)
             y = y + Ckn * h

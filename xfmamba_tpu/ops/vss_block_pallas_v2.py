@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xfmamba_tpu.ops.vss_block_pallas import (
-    _gelu_exact, _layer_norm, _shift0, _softplus, pack_vss_block_params)
+    _exp, _gelu_exact, _layer_norm, _shift0, _softplus,
+    pack_vss_block_params)
 
 # kill switches: v2 inference path (falls back to the v1 megakernel) and
 # the fused training path (megakernel fwd + block-level adjoint bwd)
@@ -80,13 +81,8 @@ def _deinterleave(y, G, L):
 # iteration loads/stores ROW_MACRO (8, C) tiles at once and the substep
 # FMAs slice the loaded VALUES statically.
 ROW_MACRO = 8
-# two-segment row scans (4 independent chains/loop): would hide FMA latency
-# at the cost of a tracked cumprod + fix-up pass.  Measured WORSE on every
-# stage geometry (scripts/ab_rowseg.py / ab_rowseg2.py: stage0 +0.9 ms,
-# stage2 x15 +0.6 ms) — the serial loops are VPU-issue-bound, not
-# latency-bound, so the extra cumprod work is pure cost.  Kept as a
-# numerically-verified ablation (interpret-mode parity in
-# tests/test_vss_block_v2.py covers both paths).
+# two-segment row scans (4 independent chains/loop): measured-WORSE
+# ablation, extracted to ops/ablations/row_seg.py (see its docstring).
 ROW_SEG = False
 
 
@@ -96,15 +92,8 @@ def _serial_row_pair(af, bf, ar, br, L, G, out_f, out_r):
     af/bf/ar/br: (L*G, C) VMEM *refs* (dynamic sublane slicing needs refs).
     Writes the full state sequence h into out_f / out_r refs.
 
-    When the tile count splits evenly, each direction runs as TWO
-    independent half-sequence chains (4 chains total in one loop — enough
-    to hide the FMA latency that a single serial chain stalls on): the
-    tail half of the forward chain and the head half of the reverse chain
-    scan with zero initial state while tracking the running a-cumprod
-    (stored in-place into the then-dead `af`/`ar` tiles), and a fix-up
-    pass adds `cumprod * carry` once the exact boundary states are known.
-
-    NOTE: clobbers `af`/`ar` (every caller rewrites them afterwards).
+    NOTE: the ROW_SEG ablation clobbers `af`/`ar` (every caller rewrites
+    them afterwards).
     """
     S = 8 // G            # time steps per (8, C) tile
     T = (L * G) // 8      # tiles
@@ -148,75 +137,8 @@ def _serial_row_pair(af, bf, ar, br, L, G, out_f, out_r):
         jax.lax.fori_loop(0, TM, body1, (zero, zero))
         return
 
-    TM = T // M
-    half_rows = (T // 2) * 8
-    one = jnp.ones((G, C), f32)
-    MS = M * S
-
-    def cat(xs):
-        return jnp.concatenate(xs, axis=0) if MS > 1 else xs[0]
-
-    def body(i, carry):
-        # 4 chains: fwd head (hA, exact), fwd tail (hB + cumprod pB),
-        # rev tail (rB, exact), rev head (rA + cumprod pA)
-        hA, hB, pB, rB, rA, pA = carry
-        bA = pl.multiple_of(i * 8 * M, 8)
-        bB = pl.multiple_of(half_rows + i * 8 * M, 8)
-        bRB = pl.multiple_of((TM - 1 - i) * 8 * M, 8)
-        bRA = pl.multiple_of((TM // 2 - 1 - i) * 8 * M, 8)
-        aA = af[pl.ds(bA, 8 * M), :]
-        vA = bf[pl.ds(bA, 8 * M), :]
-        aB = af[pl.ds(bB, 8 * M), :]
-        vB = bf[pl.ds(bB, 8 * M), :]
-        aRB = ar[pl.ds(bRB, 8 * M), :]
-        vRB = br[pl.ds(bRB, 8 * M), :]
-        aRA = ar[pl.ds(bRA, 8 * M), :]
-        vRA = br[pl.ds(bRA, 8 * M), :]
-        oA, oB, oRB, oRA, pBs, pAs = [], [], [], [], [], []
-        for t in range(MS):
-            sf = slice(t * G, (t + 1) * G)
-            j = MS - 1 - t
-            sr = slice(j * G, (j + 1) * G)
-            hA = aA[sf] * hA + vA[sf]
-            a_b = aB[sf]
-            hB = a_b * hB + vB[sf]
-            pB = a_b * pB
-            rB = aRB[sr] * rB + vRB[sr]
-            a_ra = aRA[sr]
-            rA = a_ra * rA + vRA[sr]
-            pA = a_ra * pA
-            oA.append(hA)
-            oB.append(hB)
-            pBs.append(pB)
-            oRB.insert(0, rB)
-            oRA.insert(0, rA)
-            pAs.insert(0, pA)
-        out_f[pl.ds(bA, 8 * M), :] = cat(oA)
-        out_f[pl.ds(bB, 8 * M), :] = cat(oB)
-        af[pl.ds(bB, 8 * M), :] = cat(pBs)
-        out_r[pl.ds(bRB, 8 * M), :] = cat(oRB)
-        out_r[pl.ds(bRA, 8 * M), :] = cat(oRA)
-        ar[pl.ds(bRA, 8 * M), :] = cat(pAs)
-        return hA, hB, pB, rB, rA, pA
-
-    hA, hB, pB, rB, rA, pA = jax.lax.fori_loop(
-        0, TM // 2, body, (zero, zero, one, zero, zero, one))
-
-    # fix-up: exact state = raw half-chain state + cumprod * boundary carry
-    reps = (8 * M) // G
-    cf = jnp.concatenate([hA] * reps, axis=0) if reps > 1 else hA
-    cr = jnp.concatenate([rB] * reps, axis=0) if reps > 1 else rB
-
-    def fix(i, _):
-        bB = pl.multiple_of(half_rows + i * 8 * M, 8)
-        bA = pl.multiple_of(i * 8 * M, 8)
-        out_f[pl.ds(bB, 8 * M), :] = (out_f[pl.ds(bB, 8 * M), :]
-                                      + af[pl.ds(bB, 8 * M), :] * cf)
-        out_r[pl.ds(bA, 8 * M), :] = (out_r[pl.ds(bA, 8 * M), :]
-                                      + ar[pl.ds(bA, 8 * M), :] * cr)
-        return 0
-
-    jax.lax.fori_loop(0, TM // 2, fix, 0)
+    from xfmamba_tpu.ops.ablations.row_seg import serial_row_pair_segmented
+    serial_row_pair_segmented(af, bf, ar, br, out_f, out_r, T, M, S, G)
 
 
 def _serial_col_pair(af, bf, ar, br, H, W, G, out_f, out_r):
@@ -337,7 +259,7 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
                          preferred_element_type=f32)
         dt = _softplus(dt + b_dt[k:k + 1, :].astype(f32))
         Bk = xdbl[:, 4 * R + 2 * k:4 * R + 2 * k + 1]
-        a = jnp.exp(dt * A[k:k + 1, :].astype(f32))
+        a = _exp(dt * A[k:k + 1, :].astype(f32))
         b = dt * u * Bk
         return a, b
 
@@ -738,12 +660,12 @@ def _nk_scan_kernel_v2(H, W, G, K, N, kinds, out_dtype,
     pairs = nk_scan_v2_kind_pairs(kinds)
     for (kf, kr, fam) in pairs:
         for n in range(N):
-            a_f = jnp.exp(dts[kf] * A_ref[kf * N + n:kf * N + n + 1, :]
+            a_f = _exp(dts[kf] * A_ref[kf * N + n:kf * N + n + 1, :]
                           .astype(f32))
             b_f = dtus[kf] * Bs_ref[0][:, kf * N + n:kf * N + n + 1] \
                 .astype(f32)
             if kr is not None:
-                a_r = jnp.exp(dts[kr] * A_ref[kr * N + n:kr * N + n + 1, :]
+                a_r = _exp(dts[kr] * A_ref[kr * N + n:kr * N + n + 1, :]
                               .astype(f32))
                 b_r = dtus[kr] * Bs_ref[0][:, kr * N + n:kr * N + n + 1] \
                     .astype(f32)
@@ -804,12 +726,12 @@ def nk_scan_call_v2(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds, group=8,
         from xfmamba_tpu.ops.vss_block_pallas import nk_scan_call
         return nk_scan_call(u, dts, Bs, Cs, A, Dvec, bias, H, W, kinds,
                             group=group, interpret=interpret)
-    from xfmamba_tpu.ops import nk_scan_v4 as _v4
+    from xfmamba_tpu.ops.ablations import nk_scan_v4 as _v4
     if _v4.FUSED_V4 and _v4.nk_scan_v4_supported(L, W, G, kinds):
         return _v4.nk_scan_call_v4(u, dts, Bs, Cs, A, Dvec, bias, H, W,
                                    kinds, group=G, interpret=interpret,
                                    vmem_mb=vmem_mb)
-    from xfmamba_tpu.ops import nk_scan_wide as _w
+    from xfmamba_tpu.ops.ablations import nk_scan_wide as _w
     if FUSED_V3 and _w.nk_scan_v3_supported(L, W, D, K, N, G, kinds):
         return _w.nk_scan_call_v3(u, dts, Bs, Cs, A, Dvec, bias, H, W,
                                   kinds, group=G, interpret=interpret)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xfmamba_tpu.ops import fast_math as _fm
 from xfmamba_tpu.ops.vss_block_pallas import (
     _erf_approx, _gelu_exact, _shift0, _softplus)
 from xfmamba_tpu.ops import vss_block_pallas as _vbp
@@ -181,7 +182,7 @@ def _vss_block_bwd_kernel(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
         dt = _softplus(z)
         Bk = xdbl[:, 4 * R + 2 * k:4 * R + 2 * k + 1]
         Ak = A_ref[k:k + 1, :].astype(f32)
-        a = jnp.exp(dt * Ak)
+        a = _fm.exp(dt * Ak)
         b = dt * u * Bk
         return z, dt, Bk, Ak, a, b
 
