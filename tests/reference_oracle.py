@@ -20,6 +20,19 @@ def _install_shims():
     import torch
     import torch.nn as nn
 
+    # Import torch's dynamo/inductor stack BEFORE the triton shim exists:
+    # their module bodies probe `import triton` (has_triton_package) and
+    # then unconditionally `import triton.backends.compiler` etc., which
+    # the shim cannot satisfy.  With no "triton" in sys.modules yet they
+    # resolve to the clean no-triton path once, and the optimizer-step /
+    # backward machinery (used by the trajectory-parity test) never
+    # touches the shim.
+    try:
+        import torch._dynamo  # noqa: F401
+        import torch._inductor.runtime.hints  # noqa: F401
+    except Exception:
+        pass
+
     class DropPath(nn.Module):
         def __init__(self, drop_prob=0.0, scale_by_keep=True):
             super().__init__()
