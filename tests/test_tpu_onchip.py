@@ -154,3 +154,38 @@ def test_ssd_pallas_matches_xla_on_device():
     # precision (like the reference's tensor-core Triton dots) -> ~2e-3
     assert _rel_err(y_k, y_ref) < 5e-3
     assert _rel_err(fin_k, fin_ref) < 5e-3
+
+
+def test_ssd_pallas_train_grads_match_on_device():
+    """Compiled SSD fwd+adjoint pair vs XLA einsum autodiff at an m2-like
+    geometry (the `pallas_train` backend of `ops/ssd.py`)."""
+    from xfmamba_tpu.ops import ssd_pallas as sp
+    from xfmamba_tpu.ops.ssd import ssd_chunk_scan
+
+    b, s, h, p, g, n = 2, 196, 24, 16, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    x = jax.random.normal(ks[0], (b, s, h, p), jnp.float32)
+    dt = jax.random.normal(ks[1], (b, s, h), jnp.float32) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (h,), jnp.float32) * 0.3)
+    B = jax.random.normal(ks[3], (b, s, g, n), jnp.float32)
+    C = jax.random.normal(ks[4], (b, s, g, n), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[5], (h,), jnp.float32)
+    D = jnp.ones((h,), jnp.float32) * 0.7
+    wy = jax.random.normal(jax.random.PRNGKey(9), (b, s, h, p), jnp.float32)
+
+    def loss_ref(x, dt, A, B, C, D, bias):
+        y = ssd_chunk_scan(x, dt, A, B, C, chunk_size=64, D=D, dt_bias=bias,
+                           dt_softplus=True)
+        return jnp.sum(y * wy)
+
+    def loss_k(x, dt, A, B, C, D, bias):
+        y, _ = sp.ssd_chunk_scan_pallas_train(x, dt, A, B, C, 64, D, bias,
+                                              None)
+        return jnp.sum(y * wy)
+
+    args = (x, dt, A, B, C, D, bias)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=range(7)))(*args)
+    g_k = jax.jit(jax.grad(loss_k, argnums=range(7)))(*args)
+    for nm, a, r in zip(("dx", "ddt", "dA", "dB", "dC", "dD", "dbias"),
+                        g_k, g_ref):
+        assert _rel_err(a, r) < 5e-3, nm

@@ -630,15 +630,17 @@ class SS2D(nn.Module):
             initial_states = jnp.broadcast_to(
                 jax.lax.stop_gradient(init_var.value), (B_, KR, Dh, N))
 
-        # fused Pallas SSD kernel at inference on TPU (`ops/ssd_pallas.py`);
-        # training and CPU keep the XLA einsum formulation (autodiff path)
+        # fused Pallas SSD kernels on TPU (`ops/ssd_pallas.py`): forward
+        # kernel at inference, fwd+adjoint pair under training; CPU keeps
+        # the XLA einsum formulation (the semantics/gradient oracle)
         backend = None
-        if deterministic and not self.is_initializing() \
-                and jax.default_backend() != "cpu":
+        if not self.is_initializing() and jax.default_backend() != "cpu":
             from xfmamba_tpu.ops import ssd_pallas as _sp
-            if _sp.FUSED_SSD and _sp.ssd_supported(
-                    L, KR, Dh, N, K, self.chunk_size):
-                backend = "pallas"
+            if _sp.ssd_supported(L, KR, Dh, N, K, self.chunk_size):
+                if deterministic and _sp.FUSED_SSD:
+                    backend = "pallas"
+                elif not deterministic and _sp.FUSED_SSD_TRAIN:
+                    backend = "pallas_train"
         ys, final_state = ssd_chunk_scan(
             xh, dth, -jnp.exp(A_logs.astype(jnp.float32)).reshape(KR),
             Bh, Ch, chunk_size=self.chunk_size,

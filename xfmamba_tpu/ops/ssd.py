@@ -98,6 +98,19 @@ def ssd_chunk_scan(x, dt, A, B, C, chunk_size, D=None, z=None, dt_bias=None,
             return y, final_state
         return y
 
+    if backend == "pallas_train":
+        # differentiable fused TPU pair (`ops/ssd_pallas.py`): forward with
+        # chunk-state checkpoints + reverse-chunk adjoint kernel — the TPU
+        # counterpart of the reference Triton backward
+        # (`ssd_combined.py:351`, `ssd_chunk_scan.py:1333-1703`).
+        assert z is None and dt_softplus and dt_limit == (0.0, float("inf"))
+        from xfmamba_tpu.ops.ssd_pallas import ssd_chunk_scan_pallas_train
+        y, final_state = ssd_chunk_scan_pallas_train(
+            x, dt, A, B, C, chunk_size, D, dt_bias, initial_states)
+        if return_final_states:
+            return y, final_state
+        return y
+
     chunk_size = _pick_chunk_size(s, chunk_size)
     nc = s // chunk_size
 
