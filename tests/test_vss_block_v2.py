@@ -118,3 +118,47 @@ def test_stage_stacked_matches_sequential(G, mlp):
                              interpret=True, group=G)
     np.testing.assert_allclose(np.asarray(y_k).reshape(y_seq.shape),
                                np.asarray(y_seq), rtol=4e-5, atol=4e-5)
+
+
+@pytest.mark.parametrize("conv_bias,mlp", [(False, 4.0), (True, 0.0)])
+def test_v2_fold_ln_matches_flax_block(conv_bias, mlp):
+    """fold_ln=True (LN affines folded into the matmuls they feed — the
+    TPU inference packing) is numerically identical to the flax block up
+    to f32 reassociation."""
+    H, W, G, d = 6, 14, 4, 32
+    B = 4
+    blk, variables, x = _make_block(d, H, W, B, conv_bias, mlp, seed=5)
+    y_flax = blk.apply(variables, x)
+    p = variables["params"]
+    xl = x.reshape(B, H * W, d)
+    args = pack_vss_block_params(p, jnp.float32, mlp > 0, fold_ln=True)
+    y_k = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=conv_bias,
+                             fuse_mlp=mlp > 0, interpret=True, group=G,
+                             fold_ln=True)
+    np.testing.assert_allclose(np.asarray(y_k).reshape(y_flax.shape),
+                               np.asarray(y_flax), rtol=2e-5, atol=2e-5)
+
+
+def test_v2_fold_ln_stage_matches_sequential():
+    """Stage-stacked kernel with fold_ln packing == per-block fold calls."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import (
+        _vss_stage_call_v2, pack_vss_stage_params)
+    H, W, G, d = 4, 4, 2, 32
+    B = 4
+    blocks = []
+    for j in range(3):
+        blk, variables, x = _make_block(d, H, W, B, False, 4.0, seed=10 + j)
+        blocks.append(variables["params"])
+    x = jax.random.normal(jax.random.PRNGKey(99), (B, H * W, d), jnp.float32)
+    y_seq = x
+    for p in blocks:
+        args = pack_vss_block_params(p, jnp.float32, True, fold_ln=True)
+        y_seq = _vss_block_call_v2(y_seq, *args, H=H, W=W, conv_bias=False,
+                                   fuse_mlp=True, interpret=True, group=G,
+                                   fold_ln=True)
+    args = pack_vss_stage_params(blocks, jnp.float32, True, fold_ln=True)
+    y_st = _vss_stage_call_v2(x, *args, H=H, W=W, conv_bias=False,
+                              fuse_mlp=True, interpret=True, group=G,
+                              fold_ln=True)
+    np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_seq),
+                               rtol=4e-5, atol=4e-5)

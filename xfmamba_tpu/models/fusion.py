@@ -391,7 +391,7 @@ class CrossSS2Dv5(nn.Module):
         y3 = out_norm(y3.astype(x.dtype))
         y_fuse, y, y2 = jnp.split(y3, 3, axis=0)
 
-        y_fusion3 = y * z + y2 * z + y_fuse * z
+        y_fusion3 = (y + y2 + y_fuse) * z
         out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                     kernel_init=trunc_normal_init(),
                     name="out_proj")(y_fusion3)

@@ -29,7 +29,7 @@ def serial_row_pair_segmented(af, bf, ar, br, out_f, out_r, T, M, S, G):
     Same ref contract (af/bf/ar/br are (L*G, C) VMEM refs, h sequences
     written to out_f/out_r); requires T % (2*M) == 0 and T >= 8 (the
     caller falls back to the single-segment loop otherwise).  Clobbers
-    `af`/`ar` (cumprod storage) like the live path does.
+    `bf`/`br` (cumprod storage); `out_f`/`out_r` may alias `af`/`ar`.
     """
     C = af.shape[1]
     f32 = jnp.float32
@@ -79,10 +79,10 @@ def serial_row_pair_segmented(af, bf, ar, br, out_f, out_r, T, M, S, G):
             pAs.insert(0, pA)
         out_f[pl.ds(bA, 8 * M), :] = cat(oA)
         out_f[pl.ds(bB, 8 * M), :] = cat(oB)
-        af[pl.ds(bB, 8 * M), :] = cat(pBs)
+        bf[pl.ds(bB, 8 * M), :] = cat(pBs)
         out_r[pl.ds(bRB, 8 * M), :] = cat(oRB)
         out_r[pl.ds(bRA, 8 * M), :] = cat(oRA)
-        ar[pl.ds(bRA, 8 * M), :] = cat(pAs)
+        br[pl.ds(bRA, 8 * M), :] = cat(pAs)
         return hA, hB, pB, rB, rA, pA
 
     hA, hB, pB, rB, rA, pA = jax.lax.fori_loop(
@@ -97,9 +97,9 @@ def serial_row_pair_segmented(af, bf, ar, br, out_f, out_r, T, M, S, G):
         bB = pl.multiple_of(half_rows + i * 8 * M, 8)
         bA = pl.multiple_of(i * 8 * M, 8)
         out_f[pl.ds(bB, 8 * M), :] = (out_f[pl.ds(bB, 8 * M), :]
-                                      + af[pl.ds(bB, 8 * M), :] * cf)
+                                      + bf[pl.ds(bB, 8 * M), :] * cf)
         out_r[pl.ds(bA, 8 * M), :] = (out_r[pl.ds(bA, 8 * M), :]
-                                      + ar[pl.ds(bA, 8 * M), :] * cr)
+                                      + br[pl.ds(bA, 8 * M), :] * cr)
         return 0
 
     jax.lax.fori_loop(0, TM // 2, fix, 0)

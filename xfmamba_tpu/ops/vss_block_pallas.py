@@ -203,6 +203,9 @@ _DIR_KINDS = ("row_f", "col_f", "row_r", "col_r")  # cross2d k=0..3 order
 
 
 def _layer_norm(x, scale, bias, eps=1e-5, use_mxu=False):
+    """LayerNorm over lanes.  With scale=None the affine part is skipped
+    (the caller folded scale into the next matmul's weights and bias into
+    its output row — see `pack_vss_block_params(fold_ln=True)`)."""
     if use_mxu:
         # lane reductions on big maps are VPU-slow; a dot against a ones
         # column computes the same sums on the (otherwise idle) MXU
@@ -216,7 +219,10 @@ def _layer_norm(x, scale, bias, eps=1e-5, use_mxu=False):
         mu = jnp.mean(x, axis=1, keepdims=True)
         xc = x - mu
         var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    return xc * jax.lax.rsqrt(var + eps) * scale + bias
+    xn = xc * jax.lax.rsqrt(var + eps)
+    if scale is None:
+        return xn
+    return xn * scale + bias
 
 
 def _erf_approx(x):
@@ -237,10 +243,11 @@ GELU_TANH = True
 
 def _gelu_tanh(x):
     """PyTorch ``approximate='tanh'`` GELU: 0.5x(1+tanh(√(2/π)(x+0.044715x³)))
-    with tanh(u) = 1 − 2/(e^{2u}+1) (Mosaic-safe: inf-clean at both tails)."""
-    u2 = x * (1.5957691216057308 + 0.07135481627159839 * (x * x))  # 2u
-    t = 1.0 - 2.0 / (_fm.exp(u2) + 1.0)
-    return 0.5 * x * (1.0 + t)
+    via the EXACT identity 0.5(1+tanh(u)) = σ(2u) = 1/(1+e^{-2u})
+    (Mosaic-safe: inf-clean at both tails, and ~3 fewer whole-map ops on
+    the 4x-wide MLP hidden than the explicit tanh form)."""
+    nu2 = x * (-1.5957691216057308 - 0.07135481627159839 * (x * x))  # -2u
+    return x / (1.0 + _fm.exp(nu2))
 
 
 def _gelu_exact(x):
@@ -401,11 +408,19 @@ def _vss_block_call(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
 # operand packing from the VSSBlock param tree
 # ---------------------------------------------------------------------
 
-def pack_vss_block_params(p, mm_dtype, fuse_mlp):
+def pack_vss_block_params(p, mm_dtype, fuse_mlp, fold_ln=False):
     """Build the kernel operand list from a VSSBlock param dict
     (`{"norm", "op", "norm2", "mlp"}` as created by
     `xfmamba_tpu.models.vssm.VSSBlock`).  Matmul weights are cast to
-    `mm_dtype`; normalization/state parameters stay fp32."""
+    `mm_dtype`; normalization/state parameters stay fp32.
+
+    With ``fold_ln`` (inference-only; the v2 kernels take a matching
+    static flag) each LayerNorm's affine is folded into the matmul it
+    feeds: scale into the weight rows, bias into a constant output row —
+    ln1 -> w_in (row returned in the ln1 slot, shape (1, di)),
+    out_norm -> w_out (lno slot, (1, d)), ln2 -> w_fc1 (bias absorbed
+    into b_fc1; ln2 slot becomes a (1, 1) dummy).  Saves ~4 whole-map
+    VPU ops per block at zero MXU cost."""
     f32 = jnp.float32
     op = p["op"]
     xw = op["x_proj_weight"]                    # (4, R+2, di)
@@ -414,9 +429,17 @@ def pack_vss_block_params(p, mm_dtype, fuse_mlp):
     R = dtw.shape[-1]
     assert K == 4
 
-    ln1 = jnp.stack([p["norm"]["scale"], p["norm"]["bias"]]).astype(f32)
-    w_in = op["in_proj"]["kernel"].astype(mm_dtype)             # (d, di)
-    conv = op["conv2d"]["conv"]
+    w_in_f = op["in_proj"]["kernel"].astype(f32)                # (d, di)
+    if fold_ln:
+        s1 = p["norm"]["scale"].astype(f32)
+        b1 = p["norm"]["bias"].astype(f32)
+        w_in = (w_in_f * s1[:, None]).astype(mm_dtype)
+        ln1 = (b1[None, :] @ w_in_f)                            # (1, di)
+    else:
+        ln1 = jnp.stack([p["norm"]["scale"],
+                         p["norm"]["bias"]]).astype(f32)
+        w_in = w_in_f.astype(mm_dtype)
+    conv = p["op"]["conv2d"]["conv"]
     w_conv = conv["kernel"].reshape(9, di).astype(f32)          # (3,3,1,di)
     b_conv = (conv["bias"].reshape(1, di).astype(f32)
               if "bias" in conv else jnp.zeros((1, di), f32))
@@ -431,21 +454,36 @@ def pack_vss_block_params(p, mm_dtype, fuse_mlp):
     b_dt = op["dt_projs_bias"].astype(f32)                      # (4, di)
     A = -jnp.exp(op["A_logs"].astype(f32)).reshape(4, di)
     Dsum = op["Ds"].astype(f32).reshape(4, di).sum(axis=0, keepdims=True)
-    lno = jnp.stack([op["out_norm"]["norm"]["scale"],
-                     op["out_norm"]["norm"]["bias"]]).astype(f32)
-    w_out = op["out_proj"]["kernel"].astype(mm_dtype)           # (di, d)
+    w_out_f = op["out_proj"]["kernel"].astype(f32)              # (di, d)
+    if fold_ln:
+        so = op["out_norm"]["norm"]["scale"].astype(f32)
+        bo = op["out_norm"]["norm"]["bias"].astype(f32)
+        w_out = (w_out_f * so[:, None]).astype(mm_dtype)
+        lno = (bo[None, :] @ w_out_f)                           # (1, d)
+    else:
+        lno = jnp.stack([op["out_norm"]["norm"]["scale"],
+                         op["out_norm"]["norm"]["bias"]]).astype(f32)
+        w_out = w_out_f.astype(mm_dtype)
 
     d = w_in.shape[0]
     if fuse_mlp:
         mlp = p["mlp"]
-        ln2 = jnp.stack([p["norm2"]["scale"],
-                         p["norm2"]["bias"]]).astype(f32)
-        w_fc1 = mlp["fc1"]["kernel"].astype(mm_dtype)
+        w_fc1_f = mlp["fc1"]["kernel"].astype(f32)
         b_fc1 = mlp["fc1"]["bias"].reshape(1, -1).astype(f32)
+        if fold_ln:
+            s2 = p["norm2"]["scale"].astype(f32)
+            b2 = p["norm2"]["bias"].astype(f32)
+            w_fc1 = (w_fc1_f * s2[:, None]).astype(mm_dtype)
+            b_fc1 = b_fc1 + b2[None, :] @ w_fc1_f
+            ln2 = jnp.zeros((1, 1), f32)
+        else:
+            ln2 = jnp.stack([p["norm2"]["scale"],
+                             p["norm2"]["bias"]]).astype(f32)
+            w_fc1 = w_fc1_f.astype(mm_dtype)
         w_fc2 = mlp["fc2"]["kernel"].astype(mm_dtype)
         b_fc2 = mlp["fc2"]["bias"].reshape(1, -1).astype(f32)
     else:
-        ln2 = jnp.zeros((2, d), f32)
+        ln2 = jnp.zeros((1, 1), f32) if fold_ln else jnp.zeros((2, d), f32)
         w_fc1 = jnp.zeros((d, 8), mm_dtype)
         b_fc1 = jnp.zeros((1, 8), f32)
         w_fc2 = jnp.zeros((8, d), mm_dtype)

@@ -209,22 +209,35 @@ def _chain_cols(A_c, B_c, W, G, widx, reverse):
     return jnp.where(edge, 0.0, sh)
 
 
-def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
                 x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
                 lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2, m1, m2,
                 hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref):
     """One whole VSSBlock on an f32 (Lg, d) VALUE; weights as values, scan
     scratch as refs.  Shared by the per-block kernel and the stage-stacked
-    kernel (`_vss_stage_kernel_v2`).  Returns the f32 residual output."""
+    kernel (`_vss_stage_kernel_v2`).  Returns the f32 residual output.
+
+    NOTE (r3 measured dead end): writing the scan h sequences IN PLACE
+    over their own a/b scratch (4 maps instead of 6) regressed every
+    stage 2-7% — Mosaic cannot prove the loop's dynamic-slice loads and
+    stores disjoint and serializes the load pipeline.  Keep h in
+    separate scratch."""
     f32 = jnp.float32
     L = H * W
     Lg = L * G
     WG = W * G
 
-    h1 = _layer_norm(x, ln1[0:1, :].astype(f32),
-                     ln1[1:2, :].astype(f32), use_mxu=True)
-    xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
-                      preferred_element_type=f32)               # (Lg, di)
+    if fold_ln:
+        # ln1's affine is folded into w_in; ln1 carries the (1, di) bias row
+        h1 = _layer_norm(x, None, None, use_mxu=True)
+        xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
+                          preferred_element_type=f32) \
+            + ln1.astype(f32)                                   # (Lg, di)
+    else:
+        h1 = _layer_norm(x, ln1[0:1, :].astype(f32),
+                         ln1[1:2, :].astype(f32), use_mxu=True)
+        xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
+                          preferred_element_type=f32)           # (Lg, di)
 
     # ---- depthwise 3x3 SAME conv, horizontal-taps-first decomposition.
     # l = r // G; shifts move whole positions (multiples of G sublanes) so
@@ -240,10 +253,11 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
         hrow.append(sh_l * w_c[3 * i + 0:3 * i + 1, :]
                     + xin * w_c[3 * i + 1:3 * i + 2, :]
                     + sh_r * w_c[3 * i + 2:3 * i + 3, :])
+    # vertical taps: no edge mask needed — _shift0 zero-pads the vacated
+    # rows, which are exactly the rows the lpos bounds would mask
     acc = hrow[1]
-    acc = acc + jnp.where(lpos >= W, _shift0(hrow[0], WG, False, False), 0.0)
-    acc = acc + jnp.where(lpos <= L - W - 1,
-                          _shift0(hrow[2], WG, True, False), 0.0)
+    acc = acc + _shift0(hrow[0], WG, False, False)
+    acc = acc + _shift0(hrow[2], WG, True, False)
     if conv_bias:
         acc = acc + b_conv.astype(f32)
     u = acc * jax.nn.sigmoid(acc)                               # SiLU
@@ -286,17 +300,27 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
                      hr_ref)
     y_acc = y_acc + Ck(1) * hf_ref[...] + Ck(3) * hr_ref[...]
 
-    y = _layer_norm(y_acc, lno[0:1, :].astype(f32),
-                    lno[1:2, :].astype(f32), use_mxu=True)
-    out = jax.lax.dot(y.astype(mm_dtype), w_out,
-                      preferred_element_type=f32)               # (Lg, d)
+    if fold_ln:
+        y = _layer_norm(y_acc, None, None, use_mxu=True)
+        out = jax.lax.dot(y.astype(mm_dtype), w_out,
+                          preferred_element_type=f32) \
+            + lno.astype(f32)                                   # (Lg, d)
+    else:
+        y = _layer_norm(y_acc, lno[0:1, :].astype(f32),
+                        lno[1:2, :].astype(f32), use_mxu=True)
+        out = jax.lax.dot(y.astype(mm_dtype), w_out,
+                          preferred_element_type=f32)           # (Lg, d)
     if m1 is not None:
         out = out * m1[:, 0:1].astype(f32)
     res = x + out
 
     if fuse_mlp:
-        h2 = _layer_norm(res, ln2[0:1, :].astype(f32),
-                         ln2[1:2, :].astype(f32), use_mxu=True)
+        if fold_ln:
+            # ln2 folded into w_fc1/b_fc1; ln2 operand is a dummy
+            h2 = _layer_norm(res, None, None, use_mxu=True)
+        else:
+            h2 = _layer_norm(res, ln2[0:1, :].astype(f32),
+                             ln2[1:2, :].astype(f32), use_mxu=True)
         f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1,
                          preferred_element_type=f32)
         f1 = _gelu_exact(f1 + b_fc1.astype(f32))
@@ -310,8 +334,8 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
     return res
 
 
-def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-                         out_dtype, with_masks,
+def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
+                         mm_dtype, out_dtype, with_masks,
                          *refs):
     if with_masks:
         (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
@@ -330,7 +354,7 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
          af_ref, bf_ref, ar_ref, br_ref) = refs
         m1_ref = m2_ref = None
     res = _block_body(
-        H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+        H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
         x_ref[0].astype(jnp.float32), ln1_ref[...], w_in_ref[...],
         w_conv_ref[...], b_conv_ref[...], w_xp_ref[...], w_dt_ref[...],
         b_dt_ref[...], A_ref[...], Dsum_ref[...], lno_ref[...],
@@ -345,12 +369,12 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
                                               "vmem_mb", "group",
-                                              "interleaved"))
+                                              "interleaved", "fold_ln"))
 def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
                        Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                        H, W, conv_bias, fuse_mlp, interpret=False,
                        vmem_mb=100, group=8, interleaved=False,
-                       m1=None, m2=None):
+                       m1=None, m2=None, fold_ln=False):
     """v2 entry.  x (B, L, d); returns (B, L, d).  With ``interleaved``,
     x is already (B//G, L*G, d) position-major and stays so on return
     (stage-level callers hoist the layout change outside the block loop)."""
@@ -370,9 +394,10 @@ def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     if not interleaved:
         x = _interleave(x, G)
     with_masks = m1 is not None
+    assert not (fold_ln and with_masks)  # fold is inference-only
     kernel = functools.partial(
-        _vss_block_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-        x.dtype, with_masks)
+        _vss_block_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, fold_ln,
+        mm_dtype, x.dtype, with_masks)
     blk_x = pl.BlockSpec((1, L * G, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_m = pl.BlockSpec((1, L * G, 1), lambda b: (b, 0, 0),
@@ -406,17 +431,17 @@ def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
 
 def vss_block_fused_v2(x, p, H, W, conv_bias, fuse_mlp, group=8):
     """Convenience wrapper mirroring `vss_block_fused` (inference only)."""
-    args = pack_vss_block_params(p, x.dtype, fuse_mlp)
+    args = pack_vss_block_params(p, x.dtype, fuse_mlp, fold_ln=True)
     return _vss_block_call_v2(x, *args, H=H, W=W, conv_bias=conv_bias,
-                              fuse_mlp=fuse_mlp, group=group)
+                              fuse_mlp=fuse_mlp, group=group, fold_ln=True)
 
 
 # ---------------------------------------------------------------------
 # stage-stacked megakernel: a whole stage of VSSBlocks per pallas_call
 # ---------------------------------------------------------------------
 
-def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-                         out_dtype,
+def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
+                         mm_dtype, out_dtype,
                          x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
                          w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
                          lno_ref, w_out_ref, ln2_ref,
@@ -435,7 +460,7 @@ def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
         xs_ref[...] = x_ref[0]
 
     res = _block_body(
-        H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
+        H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
         xs_ref[...].astype(jnp.float32), ln1_ref[0], w_in_ref[0],
         w_conv_ref[0], b_conv_ref[0], w_xp_ref[0], w_dt_ref[0],
         b_dt_ref[0], A_ref[0], Dsum_ref[0], lno_ref[0], w_out_ref[0],
@@ -447,19 +472,21 @@ def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
     y_ref[0] = out
 
 
-def pack_vss_stage_params(ps, mm_dtype, fuse_mlp):
+def pack_vss_stage_params(ps, mm_dtype, fuse_mlp, fold_ln=False):
     """Stack per-block operand lists along a leading depth axis."""
-    packed = [pack_vss_block_params(p, mm_dtype, fuse_mlp) for p in ps]
+    packed = [pack_vss_block_params(p, mm_dtype, fuse_mlp, fold_ln=fold_ln)
+              for p in ps]
     return tuple(jnp.stack(ws) for ws in zip(*packed))
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
-                                              "vmem_mb", "group"))
+                                              "vmem_mb", "group",
+                                              "fold_ln"))
 def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
                        Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                        H, W, conv_bias, fuse_mlp, interpret=False,
-                       vmem_mb=100, group=8):
+                       vmem_mb=100, group=8, fold_ln=False):
     """Stage entry.  x (B, L, d); weights carry a leading depth axis;
     returns (B, L, d) after all `depth` blocks."""
     B, L, d = x.shape
@@ -472,8 +499,8 @@ def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     mm_dtype = w_in.dtype
     x = _interleave(x, G)
     kernel = functools.partial(
-        _vss_stage_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, mm_dtype,
-        x.dtype)
+        _vss_stage_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, fold_ln,
+        mm_dtype, x.dtype)
     Lg = L * G
     blk_x = pl.BlockSpec((1, Lg, d), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -503,9 +530,9 @@ def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
 
 def vss_stage_fused_v2(x, ps, H, W, conv_bias, fuse_mlp, group=8):
     """Run a whole stage (list of VSSBlock param dicts) in one kernel."""
-    args = pack_vss_stage_params(ps, x.dtype, fuse_mlp)
+    args = pack_vss_stage_params(ps, x.dtype, fuse_mlp, fold_ln=True)
     return _vss_stage_call_v2(x, *args, H=H, W=W, conv_bias=conv_bias,
-                              fuse_mlp=fuse_mlp, group=group)
+                              fuse_mlp=fuse_mlp, group=group, fold_ln=True)
 
 
 _VMEM_BUDGET_V2 = 80 * 1024 * 1024
@@ -538,7 +565,11 @@ def pick_group_v2(B, H, W, d, di, hd, fuse_mlp=True,
     if L >= 2048:
         prefs = (1, 2)
     elif L >= 512:
-        prefs = (2, 4, 1)
+        # r3 re-measure (scripts/ab_stage0_group.py): stage-1 geometry now
+        # prefers G=4 (4.52 vs 5.45 ms for the depth-2 stage at B=128) —
+        # the serial-chain amortization beat the VMEM pressure once
+        # ROW_MACRO landed.  stage-0 (L>=2048) re-measured and stays small.
+        prefs = (4, 2, 1)
     elif L >= 128:
         prefs = (4, 8, 2)
     else:
