@@ -310,3 +310,171 @@ def test_gated_norms_match_pytorch_reference():
             np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                        atol=2e-5,
                                        err_msg=f"nbg={nbg} gs={gs}")
+
+
+def test_split_conv1d_scan_matches_pytorch_reference():
+    """Cross-framework: `mamba_split_conv1d_scan` vs the reference's
+    `mamba_split_conv1d_scan_ref` (`ssd_combined.py:939-984`), with the
+    reference's unavailable CUDA/Triton callables shimmed by its own
+    verified torch pieces (causal depthwise conv via F.conv1d, scan via
+    `mamba_chunk_scan_combined_torch`, norm via `rms_norm_ref`)."""
+    import torch
+    import torch.nn.functional as F
+    from xfmamba_tpu.ops.ssd import mamba_split_conv1d_scan
+
+    ref_c = _ref_module("ssd_combined")
+    ref_m = _ref_module("ssd_minimal")
+    ref_ln = _ref_module("layernorm_gated")
+
+    def conv_shim(x_bds, weight, bias=None, activation=None):
+        d, width = weight.shape
+        out = F.conv1d(x_bds, weight[:, None, :], bias, padding=width - 1,
+                       groups=d)[..., :x_bds.shape[-1]]
+        if activation in ("silu", "swish"):
+            out = F.silu(out)
+        return out
+
+    def scan_shim(x, dt, A, B, C, D=None, z=None, dt_bias=None,
+                  dt_softplus=False, dt_limit=(0.0, float("inf"))):
+        assert dt_softplus and dt_limit == (0.0, float("inf"))
+        return ref_m.mamba_chunk_scan_combined_torch(
+            x.float(), dt.float(), A, B.float(), C.float(), chunk_size=16,
+            D=D, z=z, dt_bias=dt_bias, dt_softplus=True)
+
+    def rmsnorm_shim(x, weight, bias, z=None, eps=1e-6, group_size=None,
+                     norm_before_gate=True):
+        # the reference's own torch ref (`ssd_combined.py:983`) omits
+        # group_size, diverging from the shipped Fn (`:814`) which passes
+        # group_size=dim//ngroups; we implement (and test) Fn semantics
+        gs = group_size if group_size is not None else x.shape[-1] // ngroups
+        return ref_ln.rms_norm_ref(x, weight, bias, z=z, eps=eps,
+                                   group_size=gs,
+                                   norm_before_gate=norm_before_gate)
+
+    orig = (ref_c.causal_conv1d_fn, ref_c.ssd_selective_scan,
+            ref_c.rmsnorm_fn)
+    ref_c.causal_conv1d_fn = conv_shim
+    ref_c.ssd_selective_scan = scan_shim
+    ref_c.rmsnorm_fn = rmsnorm_shim
+    try:
+        rng = np.random.default_rng(7)
+        b, s, nheads, headdim, ngroups, dstate, width = 2, 64, 4, 8, 2, 16, 4
+        dim = nheads * headdim
+        packed = 2 * dim + 2 * ngroups * dstate + nheads
+        zxbcdt = rng.standard_normal((b, s, packed)).astype(np.float32)
+        w_conv = (rng.standard_normal((dim + 2 * ngroups * dstate, width))
+                  .astype(np.float32) * 0.3)
+        b_conv = rng.standard_normal(dim + 2 * ngroups * dstate).astype(
+            np.float32) * 0.1
+        dt_bias = rng.standard_normal(nheads).astype(np.float32) * 0.5
+        A = -np.exp(rng.standard_normal(nheads).astype(np.float32))
+        D2 = rng.standard_normal((nheads, headdim)).astype(np.float32)
+        w_rms = rng.standard_normal(dim).astype(np.float32)
+        w_out = rng.standard_normal((24, dim)).astype(np.float32) * 0.2
+        b_out = rng.standard_normal(24).astype(np.float32)
+
+        for nbg, use_rms, use_proj in ((True, True, True), (False, True, False),
+                                       (True, False, False)):
+            want = ref_c.mamba_split_conv1d_scan_ref(
+                torch.tensor(zxbcdt), torch.tensor(w_conv),
+                torch.tensor(b_conv), torch.tensor(dt_bias), torch.tensor(A),
+                torch.tensor(D2), chunk_size=16,
+                rmsnorm_weight=torch.tensor(w_rms) if use_rms else None,
+                rmsnorm_eps=1e-6,
+                outproj_weight=torch.tensor(w_out) if use_proj else None,
+                outproj_bias=torch.tensor(b_out) if use_proj else None,
+                ngroups=ngroups, norm_before_gate=nbg).numpy()
+            got = mamba_split_conv1d_scan(
+                jnp.asarray(zxbcdt), jnp.asarray(w_conv), jnp.asarray(b_conv),
+                jnp.asarray(dt_bias), jnp.asarray(A), jnp.asarray(D2),
+                chunk_size=16,
+                rmsnorm_weight=jnp.asarray(w_rms) if use_rms else None,
+                rmsnorm_eps=1e-6,
+                outproj_weight=jnp.asarray(w_out) if use_proj else None,
+                outproj_bias=jnp.asarray(b_out) if use_proj else None,
+                ngroups=ngroups, norm_before_gate=nbg)
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=3e-5, atol=3e-5,
+                err_msg=f"nbg={nbg} rms={use_rms} proj={use_proj}")
+    finally:
+        (ref_c.causal_conv1d_fn, ref_c.ssd_selective_scan,
+         ref_c.rmsnorm_fn) = orig
+
+
+def test_split_conv1d_scan_nonssm_and_final_states():
+    """The d_nonssm swiglu prefix and final-state return of the full
+    `MambaSplitConv1dScanCombinedFn` contract (`ssd_combined.py:782,:796`),
+    checked against a hand-composed oracle of already-tested pieces."""
+    from xfmamba_tpu.ops.ssd import (causal_conv1d, mamba_split_conv1d_scan,
+                                     swiglu)
+    rng = np.random.default_rng(11)
+    b, s, nheads, headdim, ngroups, dstate, width = 2, 32, 2, 4, 1, 8, 4
+    d_nonssm = 6
+    dim = nheads * headdim
+    packed = 2 * d_nonssm + 2 * dim + 2 * ngroups * dstate + nheads
+    zxbcdt = jnp.asarray(rng.standard_normal((b, s, packed)), jnp.float32)
+    w_conv = jnp.asarray(
+        rng.standard_normal((dim + 2 * ngroups * dstate, width)) * 0.3,
+        jnp.float32)
+    dt_bias = jnp.asarray(rng.standard_normal(nheads) * 0.5, jnp.float32)
+    A = jnp.asarray(-np.exp(rng.standard_normal(nheads)), jnp.float32)
+    D1 = jnp.asarray(rng.standard_normal(nheads), jnp.float32)
+    init = jnp.asarray(
+        rng.standard_normal((b, nheads, headdim, dstate)), jnp.float32)
+
+    out, fs = mamba_split_conv1d_scan(
+        zxbcdt, w_conv, None, dt_bias, A, D1, chunk_size=8,
+        initial_states=init, return_final_states=True, headdim=headdim,
+        ngroups=ngroups)
+    assert out.shape == (b, s, d_nonssm + dim)
+    assert fs.shape == (b, nheads, headdim, dstate)
+
+    # oracle: explicit split + tested pieces
+    zx0 = zxbcdt[..., :2 * d_nonssm]
+    z = zxbcdt[..., 2 * d_nonssm:2 * d_nonssm + dim]
+    xBC = zxbcdt[..., 2 * d_nonssm + dim:packed - nheads]
+    dt = zxbcdt[..., packed - nheads:]
+    xBC = causal_conv1d(xBC, w_conv, None, activation="silu")
+    x = xBC[..., :dim].reshape(b, s, nheads, headdim)
+    Bm = xBC[..., dim:dim + dstate].reshape(b, s, ngroups, dstate)
+    Cm = xBC[..., dim + dstate:].reshape(b, s, ngroups, dstate)
+    want, want_fs = ssd_chunk_scan(
+        x, dt, A, Bm, Cm, 8, D=D1, z=z.reshape(b, s, nheads, headdim),
+        dt_bias=dt_bias, initial_states=init, dt_softplus=True,
+        return_final_states=True)
+    want = jnp.concatenate(
+        [swiglu(zx0[..., :d_nonssm], zx0[..., d_nonssm:]),
+         want.reshape(b, s, dim)], axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(want_fs),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_split_conv1d_scan_grads_finite():
+    """XLA autodiff through the whole split-conv1d graph (replacing the
+    reference's hand-written backward, `ssd_combined.py:843-937`)."""
+    from xfmamba_tpu.ops.ssd import mamba_split_conv1d_scan
+    rng = np.random.default_rng(3)
+    b, s, nheads, headdim, ngroups, dstate, width = 2, 16, 2, 4, 1, 8, 4
+    dim = nheads * headdim
+    packed = 2 * dim + 2 * ngroups * dstate + nheads
+    zxbcdt = jnp.asarray(rng.standard_normal((b, s, packed)), jnp.float32)
+    w_conv = jnp.asarray(
+        rng.standard_normal((dim + 2 * ngroups * dstate, width)) * 0.3,
+        jnp.float32)
+    dt_bias = jnp.asarray(rng.standard_normal(nheads) * 0.5, jnp.float32)
+    A = jnp.asarray(-np.exp(rng.standard_normal(nheads)), jnp.float32)
+    D2 = jnp.asarray(rng.standard_normal((nheads, headdim)), jnp.float32)
+    w_rms = jnp.asarray(rng.standard_normal(dim), jnp.float32)
+
+    def loss(args):
+        zx, wc, db, a, d2, wr = args
+        y = mamba_split_conv1d_scan(zx, wc, None, db, a, d2, chunk_size=8,
+                                    rmsnorm_weight=wr, ngroups=ngroups)
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    grads = jax.grad(loss)((zxbcdt, w_conv, dt_bias, A, D2, w_rms))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0.0

@@ -13,6 +13,9 @@ TPU-native equivalent of the reference's vendored Triton package
 - `layernorm_gated` / `rmsnorm_gated` — gated norms
   (`layernorm_gated.py:380-437`).
 - `swiglu`                  — `k_activations.py:44-117`.
+- `causal_conv1d` / `mamba_split_conv1d_scan` — the fused split-conv1d
+  entry (`ssd_combined.py:760-984`), unused by the reference's own model
+  code; provided for capability parity.
 
 Design (TPU-first): where the reference hand-schedules ~4k lines of Triton
 (ssd_chunk_state/ssd_chunk_scan/ssd_state_passing/ssd_bmm), the chunked SSD
@@ -278,3 +281,104 @@ def rmsnorm_gated(x, weight, z=None, eps: float = 1e-5, group_size=None,
 def swiglu(e, g):
     """silu(e) * g (`k_activations.py:44-117`)."""
     return e * jax.nn.sigmoid(e) * g
+
+
+def causal_conv1d(x, weight, bias=None, activation=None):
+    """Depthwise causal 1-D conv, semantics of the `causal_conv1d` package
+    the reference wraps (`ssd_combined.py:22-25`, used at `:748,:971`):
+    left-pad by width-1, per-channel taps, optional bias + silu.
+
+    Args: x (batch, seqlen, d); weight (d, width); bias (d,) optional.
+    Returns (batch, seqlen, d) in x.dtype; math in float32.
+    """
+    b, s, d = x.shape
+    width = weight.shape[1]
+    xf = x.astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        xf, weight.astype(jnp.float32)[:, None, :],     # (d, 1, width) OIW
+        window_strides=(1,), padding=((width - 1, 0),),
+        dimension_numbers=("NWC", "OIW", "NWC"),
+        feature_group_count=d)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    if activation in ("silu", "swish"):
+        out = out * jax.nn.sigmoid(out)
+    else:
+        assert activation is None
+    return out.astype(x.dtype)
+
+
+def mamba_split_conv1d_scan(zxbcdt, conv1d_weight, conv1d_bias, dt_bias, A,
+                            D, chunk_size, initial_states=None, seq_idx=None,
+                            dt_limit=(0.0, float("inf")),
+                            return_final_states=False, activation="silu",
+                            rmsnorm_weight=None, rmsnorm_eps=1e-6,
+                            outproj_weight=None, outproj_bias=None,
+                            headdim=None, ngroups=1, norm_before_gate=True):
+    """Fused split-conv1d SSD entry, semantics of the reference's
+    `mamba_split_conv1d_scan_combined` (`ssd_combined.py:760-984`): one
+    packed projection output `zxbcdt` is split into [swiglu-pair zx0 |
+    z-gate | x/B/C conv input | dt], run through a causal depthwise conv,
+    the chunked SSD scan, an optional gated RMSNorm, and an optional out
+    projection.  Unused by the reference's own model code — provided for
+    capability parity.  Gradients via XLA autodiff of this graph (replacing
+    the reference's hand-written `MambaSplitConv1dScanCombinedFn.backward`).
+
+    Args (torch-layout contracts preserved):
+      zxbcdt: (batch, seqlen, 2*d_nonssm + 2*dim + 2*ngroups*dstate + nheads)
+      conv1d_weight: (dim + 2*ngroups*dstate, width); conv1d_bias: same d
+      dt_bias, A: (nheads,);  D: (nheads,) [needs headdim] or (nheads, headdim)
+      rmsnorm_weight: (dim,) — when given, the scan is ungated and the gate
+        is applied in the group-RMSNorm (group_size = dim // ngroups)
+      outproj_weight: (out_dim, dim + d_nonssm) torch Linear convention
+    Returns out (batch, seqlen, out_dim | d_nonssm + dim), plus the final
+    fp32 state (batch, nheads, headdim, dstate) if return_final_states.
+    """
+    del seq_idx  # varlen packing unsupported (unused by the reference model)
+    if D.ndim == 1:
+        assert headdim is not None
+        nheads = D.shape[0]
+    else:
+        nheads, headdim = D.shape
+    batch, seqlen, packed = zxbcdt.shape
+    dim = nheads * headdim
+    assert nheads % ngroups == 0
+    dstate = (conv1d_weight.shape[0] - dim) // ngroups // 2
+    d_nonssm = (packed - 2 * dim - 2 * ngroups * dstate - nheads) // 2
+    assert d_nonssm >= 0
+    zx0, z, xBC, dt = jnp.split(
+        zxbcdt,
+        [2 * d_nonssm, 2 * d_nonssm + dim, 2 * d_nonssm + 2 * dim
+         + 2 * ngroups * dstate], axis=-1)
+
+    xBC = causal_conv1d(xBC, conv1d_weight, conv1d_bias,
+                        activation=activation)
+    x, B, C = jnp.split(xBC, [dim, dim + ngroups * dstate], axis=-1)
+    x = x.reshape(batch, seqlen, nheads, headdim)
+    B = B.reshape(batch, seqlen, ngroups, dstate)
+    C = C.reshape(batch, seqlen, ngroups, dstate)
+    zh = z.reshape(batch, seqlen, nheads, headdim)
+
+    out, final_states = ssd_chunk_scan(
+        x, dt, A, B, C, chunk_size, D=D,
+        z=zh if rmsnorm_weight is None else None, dt_bias=dt_bias,
+        initial_states=initial_states, dt_softplus=True, dt_limit=dt_limit,
+        return_final_states=True)
+    out = out.reshape(batch, seqlen, dim)
+    if rmsnorm_weight is not None:
+        out = rmsnorm_gated(out, rmsnorm_weight, z=z, eps=rmsnorm_eps,
+                            group_size=dim // ngroups,
+                            norm_before_gate=norm_before_gate)
+    if d_nonssm > 0:
+        out = jnp.concatenate(
+            [swiglu(zx0[..., :d_nonssm], zx0[..., d_nonssm:]).astype(out.dtype),
+             out], axis=-1)
+    if outproj_weight is not None:
+        out = out @ outproj_weight.T.astype(out.dtype)
+        if outproj_bias is not None:
+            out = out + outproj_bias.astype(out.dtype)
+    else:
+        assert outproj_bias is None
+    if return_final_states:
+        return out, final_states
+    return out
