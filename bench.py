@@ -57,9 +57,65 @@ def measure(model_apply, variables, x1, x2, k_long=5):
     return per_step
 
 
+def measure_train(bs=16):
+    """Train-step throughput (fwd + bwd + Adam, XFMamba-S two-view, bs 16).
+
+    Python-loop differencing (k=6 vs k=1 dependent dispatches, scalar loss
+    fetch as the sync) — same cancellation idea as `measure`; matches the
+    in-process ablation numbers in NOTES.md (BASELINE config 4 trend line).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xfmamba_tpu.models.tops import two_view_xfmamba
+    from xfmamba_tpu.train.config import TrainConfig
+    from xfmamba_tpu.train.loop import (init_train_state, make_optimizer,
+                                        make_train_step)
+
+    model = two_view_xfmamba("small", outputs=2, dtype=jnp.bfloat16,
+                             use_checkpoint=False)
+    opt = make_optimizer(TrainConfig(lr=1e-4))
+    x1 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
+    x2 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
+    batch = {"image1": x1, "image2": x2,
+             "label": jnp.zeros((bs,), jnp.int32)}
+    state = init_train_state(model, opt, jax.random.key(0), (x1, x2))
+    train_step, _ = make_train_step(model, opt, multilabel=False,
+                                    donate=False)
+    lr = jnp.asarray(1e-4)
+    rng = jax.random.key(1)
+
+    def run_k(k):
+        s = state
+        for _ in range(k):
+            s, m = train_step(s, batch, rng, lr)
+        return float(m["loss"])  # scalar fetch = sync on the remote path
+
+    run_k(1)  # compile + warm
+    best = {}
+    for k in (1, 6):
+        vals = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_k(k)
+            vals.append(time.perf_counter() - t0)
+        best[k] = min(vals)
+    return (best[6] - best[1]) / 5
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if "--train" in sys.argv:
+        # subprocess mode: print the train-step measurement as one JSON line
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        per_step = measure_train()
+        print(json.dumps({"train_ms_per_step": round(per_step * 1e3, 2),
+                          "train_batch_size": 16}))
+        return
 
     # persistent compile cache: remote-TPU compiles take minutes; cache them
     try:
@@ -95,13 +151,42 @@ def main():
                   file=sys.stderr)
             break
 
-    print(json.dumps({
+    record = {
         "metric": "xfmamba_s_two_view_224_inference",
         "value": round(best_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best_ips / A100_REFERENCE_IPS, 3),
         "batch_size": best_bs,
-    }))
+    }
+
+    # training trend line (BASELINE config 4): run in a subprocess with a
+    # hard timeout so a cold-cache train compile cannot take down the
+    # inference record above.  XFMAMBA_BENCH_TRAIN=0 skips it.
+    import os
+    import subprocess
+    if os.environ.get("XFMAMBA_BENCH_TRAIN", "1") != "0":
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--train"],
+                capture_output=True, text=True, timeout=1500,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                tr = json.loads(line[-1])
+                record.update(tr)
+                bs = tr.get("train_batch_size", 16)
+                print(f"# train: {tr['train_ms_per_step']:.1f} ms/step bs{bs}"
+                      f" ({bs / tr['train_ms_per_step'] * 1e3:.1f} img/s)",
+                      file=sys.stderr)
+            else:
+                print(f"# train bench produced no JSON: {out.stderr[-400:]}",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"# train bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
