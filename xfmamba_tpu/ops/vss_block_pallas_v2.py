@@ -54,6 +54,16 @@ FUSED_V2 = True
 FUSED_TRAIN = True
 # whole-stage stacked kernel (weights streamed via grid, x in scratch)
 FUSED_STAGE = True
+# packed-bf16 whole-map arithmetic on the INFERENCE path (fold_ln=True):
+# bf16's native tile is (16, 128) — two sublanes per f32 vreg — and Mosaic
+# issues packed bf16 mul/add/fma at ~2x f32 throughput (transcendentals
+# upcast internally and don't pack; scans/exponent paths stay f32).  The
+# conv taps, SiLU, and the MLP hidden (the widest map) run in bf16, which
+# matches the reference's shipped fp16-I/O config (`v05` = no fp32 forcing,
+# fp32 scan state only — vmamba.py:421-434, selective_scan.cpp:16-28).
+# Training keeps f32 maps so the block-level adjoint recomputation stays
+# op-for-op consistent with the forward.
+BF16_MAPS = True
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
@@ -226,13 +236,18 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     L = H * W
     Lg = L * G
     WG = W * G
+    # packed-bf16 maps on the inference path only (see BF16_MAPS above):
+    # fold_ln is the inference-only flag, so the train forward (which the
+    # block-level adjoint recomputes op-for-op in f32) is untouched.
+    cdt = jnp.bfloat16 if (BF16_MAPS and fold_ln
+                           and mm_dtype == jnp.bfloat16) else f32
 
     if fold_ln:
         # ln1's affine is folded into w_in; ln1 carries the (1, di) bias row
         h1 = _layer_norm(x, None, None, use_mxu=True)
         xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
-                          preferred_element_type=f32) \
-            + ln1.astype(f32)                                   # (Lg, di)
+                          preferred_element_type=cdt) \
+            + ln1.astype(cdt)                                   # (Lg, di)
     else:
         h1 = _layer_norm(x, ln1[0:1, :].astype(f32),
                          ln1[1:2, :].astype(f32), use_mxu=True)
@@ -245,9 +260,11 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     row_r = jax.lax.broadcasted_iota(jnp.int32, (Lg, 1), 0)
     lpos = row_r // G                                           # (Lg, 1)
     wmod = lpos % W
-    sh_l = jnp.where(wmod >= 1, _shift0(xin, G, False, False), 0.0)
-    sh_r = jnp.where(wmod <= W - 2, _shift0(xin, G, True, False), 0.0)
-    w_c = w_conv.astype(f32)
+    sh_l = jnp.where(wmod >= 1, _shift0(xin, G, False, False),
+                     jnp.asarray(0.0, cdt))
+    sh_r = jnp.where(wmod <= W - 2, _shift0(xin, G, True, False),
+                     jnp.asarray(0.0, cdt))
+    w_c = w_conv.astype(cdt)
     hrow = []
     for i in range(3):
         hrow.append(sh_l * w_c[3 * i + 0:3 * i + 1, :]
@@ -259,10 +276,12 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     acc = acc + _shift0(hrow[0], WG, False, False)
     acc = acc + _shift0(hrow[2], WG, True, False)
     if conv_bias:
-        acc = acc + b_conv.astype(f32)
+        acc = acc + b_conv.astype(cdt)
     u = acc * jax.nn.sigmoid(acc)                               # SiLU
 
     u_mm = u.astype(mm_dtype)
+    if cdt != f32:
+        u = u.astype(f32)  # scan b / D·u epilogue accumulate in f32
     xdbl = jax.lax.dot(u_mm, w_xp,
                        preferred_element_type=f32)              # (Lg, 4R+8)
     xdbl_mm = xdbl.astype(mm_dtype)
@@ -322,8 +341,8 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
             h2 = _layer_norm(res, ln2[0:1, :].astype(f32),
                              ln2[1:2, :].astype(f32), use_mxu=True)
         f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1,
-                         preferred_element_type=f32)
-        f1 = _gelu_exact(f1 + b_fc1.astype(f32))
+                         preferred_element_type=cdt)
+        f1 = _gelu_exact(f1 + b_fc1.astype(cdt))
         f2 = jax.lax.dot(f1.astype(mm_dtype), w_fc2,
                          preferred_element_type=f32) \
             + b_fc2.astype(f32)
