@@ -166,8 +166,9 @@ def test_v2_fold_ln_stage_matches_sequential():
 
 def test_v2_bf16_maps_inference_path():
     """BF16_MAPS (packed-bf16 conv/SiLU/MLP maps on the fold_ln inference
-    path, matching the reference's fp16-I/O `v05` semantics) stays within
-    bf16-grade error of the f32 flax block."""
+    path) is a MEASURED DEAD END on-chip (0.73-0.88x, see NOTES.md r3s4)
+    and defaults OFF; this keeps the gated ablation path compiling and
+    within bf16-grade error of the f32 flax block."""
     from xfmamba_tpu.ops import vss_block_pallas_v2 as v2
 
     H, W, G, d = 6, 14, 4, 32
@@ -177,30 +178,28 @@ def test_v2_bf16_maps_inference_path():
     p = variables["params"]
     xl = x.reshape(B, H * W, d).astype(jnp.bfloat16)
     args = pack_vss_block_params(p, jnp.bfloat16, True, fold_ln=True)
-    assert v2.BF16_MAPS  # production default
-    y_k = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=True,
-                             fuse_mlp=True, interpret=True, group=G,
-                             fold_ln=True)
-    y = np.asarray(y_k.astype(jnp.float32)).reshape(y_flax.shape)
+    assert not v2.BF16_MAPS  # production default: f32 maps (NOTES r3s4)
+    y_k32 = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=True,
+                               fuse_mlp=True, interpret=True, group=G,
+                               fold_ln=True)
     ref = np.asarray(y_flax)
     scale = np.abs(ref).max()
-    assert np.abs(y - ref).max() / scale < 2.5e-2
-    # and the f32-maps variant of the same bf16-weights call for reference:
-    # flipping the flag must still compile/run and be at least as accurate
-    # f32-maps variant of the same bf16-weights call: flag flips must
-    # clear the jit cache (module-flag trap documented in NOTES.md)
-    v2.BF16_MAPS = False
-    _vss_block_call_v2.clear_cache()
-    try:
-        y_k32 = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=True,
-                                   fuse_mlp=True, interpret=True, group=G,
-                                   fold_ln=True)
-    finally:
-        v2.BF16_MAPS = True
-        _vss_block_call_v2.clear_cache()
     y32 = np.asarray(y_k32.astype(jnp.float32)).reshape(y_flax.shape)
     err32 = np.abs(y32 - ref).max() / scale
-    err16 = np.abs(y - ref).max() / scale
     assert err32 < 2.5e-2
+    # the gated bf16-maps ablation: flag flips must clear the jit cache
+    # (module-flag trap documented in NOTES.md)
+    v2.BF16_MAPS = True
+    _vss_block_call_v2.clear_cache()
+    try:
+        y_k = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=True,
+                                 fuse_mlp=True, interpret=True, group=G,
+                                 fold_ln=True)
+    finally:
+        v2.BF16_MAPS = False
+        _vss_block_call_v2.clear_cache()
+    y = np.asarray(y_k.astype(jnp.float32)).reshape(y_flax.shape)
+    err16 = np.abs(y - ref).max() / scale
+    assert err16 < 2.5e-2
     # bf16 maps may add at most ~one bf16 quantum of extra error
     assert err16 < err32 + 1.2e-2, (err16, err32)

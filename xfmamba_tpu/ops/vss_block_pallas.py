@@ -247,6 +247,11 @@ def _gelu_tanh(x):
     (Mosaic-safe: inf-clean at both tails, and ~3 fewer whole-map ops on
     the 4x-wide MLP hidden than the explicit tanh form)."""
     nu2 = x * (-1.5957691216057308 - 0.07135481627159839 * (x * x))  # -2u
+    if x.dtype == jnp.bfloat16:
+        # transcendental + reciprocal in f32 (Mosaic can't emit bf16
+        # logistic/div vectors); polynomial prep and final mul stay packed
+        return x * (1.0 / (1.0 + _fm.exp(nu2.astype(jnp.float32)))
+                    ).astype(x.dtype)
     return x / (1.0 + _fm.exp(nu2))
 
 

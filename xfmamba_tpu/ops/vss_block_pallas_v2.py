@@ -55,15 +55,17 @@ FUSED_TRAIN = True
 # whole-stage stacked kernel (weights streamed via grid, x in scratch)
 FUSED_STAGE = True
 # packed-bf16 whole-map arithmetic on the INFERENCE path (fold_ln=True):
-# bf16's native tile is (16, 128) — two sublanes per f32 vreg — and Mosaic
-# issues packed bf16 mul/add/fma at ~2x f32 throughput (transcendentals
-# upcast internally and don't pack; scans/exponent paths stay f32).  The
-# conv taps, SiLU, and the MLP hidden (the widest map) run in bf16, which
-# matches the reference's shipped fp16-I/O config (`v05` = no fp32 forcing,
-# fp32 scan state only — vmamba.py:421-434, selective_scan.cpp:16-28).
-# Training keeps f32 maps so the block-level adjoint recomputation stays
-# op-for-op consistent with the forward.
-BF16_MAPS = True
+# MEASURED DEAD END — default OFF.  The theory (bf16 tile (16,128) = two
+# sublanes per f32 vreg, packed mul/add at ~2x issue rate) does not
+# survive contact with the surrounding kernel: Mosaic requires 32-bit
+# matmul accumulators and f32 transcendentals (logistic/exp can't emit
+# bf16 vectors), so every bf16 map segment is bracketed by whole-map
+# casts/relayouts that cost more than the packed issue saves.  On-chip
+# one-process A/B (scripts/ab_bf16_maps.py, 2026-08-20): stage0 0.73x,
+# stage1 0.88x, stage2 0.86x, stage3 1.01x, model bs64 986.9 vs
+# 1155.1 img/s.  Kept as a tested, gated ablation (interpret-mode test
+# pins numerics); do not retry without a layout-level change.
+BF16_MAPS = False
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
@@ -245,8 +247,10 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     if fold_ln:
         # ln1's affine is folded into w_in; ln1 carries the (1, di) bias row
         h1 = _layer_norm(x, None, None, use_mxu=True)
+        # Mosaic requires a 32-bit matmul accumulator; accumulate f32 and
+        # cast the MAP down to cdt so the VPU ops that follow run packed.
         xin = jax.lax.dot(h1.astype(mm_dtype), w_in,
-                          preferred_element_type=cdt) \
+                          preferred_element_type=f32).astype(cdt) \
             + ln1.astype(cdt)                                   # (Lg, di)
     else:
         h1 = _layer_norm(x, ln1[0:1, :].astype(f32),
@@ -277,7 +281,9 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     acc = acc + _shift0(hrow[2], WG, True, False)
     if conv_bias:
         acc = acc + b_conv.astype(cdt)
-    u = acc * jax.nn.sigmoid(acc)                               # SiLU
+    # SiLU; Mosaic's logistic lowering can't emit bf16 vectors (f32 const
+    # broadcast), so the transcendental runs f32 and the mul stays packed.
+    u = acc * jax.nn.sigmoid(acc.astype(f32)).astype(cdt)
 
     u_mm = u.astype(mm_dtype)
     if cdt != f32:
@@ -341,7 +347,7 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
             h2 = _layer_norm(res, ln2[0:1, :].astype(f32),
                              ln2[1:2, :].astype(f32), use_mxu=True)
         f1 = jax.lax.dot(h2.astype(mm_dtype), w_fc1,
-                         preferred_element_type=cdt)
+                         preferred_element_type=f32).astype(cdt)
         f1 = _gelu_exact(f1 + b_fc1.astype(cdt))
         f2 = jax.lax.dot(f1.astype(mm_dtype), w_fc2,
                          preferred_element_type=f32) \
