@@ -26,7 +26,12 @@ import time
 A100_REFERENCE_IPS = 400.0  # estimated two-view samples/s (see docstring)
 
 
-def measure(model_apply, variables, x1, x2, k_long=5):
+def measure(model_apply, variables, x1, x2, k_long=5, n_repeats=3):
+    """Returns a list of ``n_repeats`` independent per-step times (seconds).
+
+    Each repeat is a fresh (t_K - t_1)/(K-1) differencing pair so the spread
+    in the returned list reflects true run-to-run noise (VERDICT r3 #4: the
+    artifact must carry median + spread, not a single best-of-sweep)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,19 +47,26 @@ def measure(model_apply, variables, x1, x2, k_long=5):
                                    (a, jnp.zeros((), jnp.float32)))
         return acc
 
-    def timed(k, reps=2):
-        float(chained(variables, x1, x2, k))  # compile + warmup
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(chained(variables, x1, x2, k))  # scalar fetch = sync
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed(k):
+        t0 = time.perf_counter()
+        float(chained(variables, x1, x2, k))  # scalar fetch = sync
+        return time.perf_counter() - t0
 
-    t1 = timed(1)
-    tk = timed(k_long)
-    per_step = (tk - t1) / (k_long - 1)
-    return per_step
+    # compile + warm both programs before any timing
+    float(chained(variables, x1, x2, 1))
+    float(chained(variables, x1, x2, k_long))
+    samples = []
+    for _ in range(n_repeats):
+        t1 = min(timed(1), timed(1))
+        tk = timed(k_long)
+        samples.append((tk - t1) / (k_long - 1))
+    return samples
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def measure_train(bs=16):
@@ -91,16 +103,19 @@ def measure_train(bs=16):
             s, m = train_step(s, batch, rng, lr)
         return float(m["loss"])  # scalar fetch = sync on the remote path
 
+    def timed(k):
+        t0 = time.perf_counter()
+        run_k(k)
+        return time.perf_counter() - t0
+
     run_k(1)  # compile + warm
-    best = {}
-    for k in (1, 6):
-        vals = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_k(k)
-            vals.append(time.perf_counter() - t0)
-        best[k] = min(vals)
-    return (best[6] - best[1]) / 5
+    run_k(6)
+    samples = []
+    for _ in range(3):
+        t1 = min(timed(1), timed(1))
+        tk = timed(6)
+        samples.append((tk - t1) / 5)
+    return samples
 
 
 def main():
@@ -112,9 +127,14 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        per_step = measure_train()
-        print(json.dumps({"train_ms_per_step": round(per_step * 1e3, 2),
-                          "train_batch_size": 16}))
+        samples = sorted(measure_train())
+        med = _median(samples)
+        print(json.dumps({
+            "train_ms_per_step": round(med * 1e3, 2),
+            "train_ms_spread": round((samples[-1] - samples[0]) * 1e3, 2),
+            "train_n_repeats": len(samples),
+            "train_batch_size": 16,
+        }))
         return
 
     # persistent compile cache: remote-TPU compiles take minutes; cache them
@@ -130,33 +150,50 @@ def main():
     # bf16 compute (MXU-native) with fp32 selective-scan state
     model = two_view_xfmamba("small", outputs=2, dtype=jnp.bfloat16)
 
-    best_ips = 0.0
-    best_bs = 0
-    for bs in (32, 64, 96):
+    # headline pinned to bs64 (VERDICT r3 #4): N=3 repeats, median + spread
+    HEADLINE_BS = 64
+    per_batch = {}
+    for bs in (32, 64):
         try:
             x1 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
             x2 = jnp.ones((bs, 224, 224, 1), jnp.bfloat16)
             shapes = jax.eval_shape(model.init, jax.random.key(0), x1, x2)
             variables = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-            per_step = measure(
+            samples = measure(
                 lambda v, a, b: model.apply(v, a, b), variables, x1, x2)
-            ips = bs / per_step
-            print(f"# bs={bs}: {per_step*1e3:.2f} ms/step, {ips:.1f} img/s",
+            ips = sorted(bs / s for s in samples)
+            per_batch[bs] = {
+                "img_per_s_median": round(_median(ips), 2),
+                "img_per_s_min": round(ips[0], 2),
+                "img_per_s_max": round(ips[-1], 2),
+                "ms_per_step_median": round(_median(samples) * 1e3, 2),
+                "n_repeats": len(samples),
+            }
+            print(f"# bs={bs}: {per_batch[bs]['ms_per_step_median']:.2f} ms"
+                  f"/step, {per_batch[bs]['img_per_s_median']:.1f} img/s "
+                  f"median (spread {ips[0]:.1f}-{ips[-1]:.1f})",
                   file=sys.stderr)
-            if ips > best_ips:
-                best_ips, best_bs = ips, bs
         except Exception as e:
             print(f"# bs={bs} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             break
 
+    head = per_batch.get(HEADLINE_BS) or max(
+        per_batch.values(), key=lambda r: r["img_per_s_median"],
+        default={"img_per_s_median": 0.0, "img_per_s_min": 0.0,
+                 "img_per_s_max": 0.0, "n_repeats": 0})
+    value = head["img_per_s_median"]
     record = {
         "metric": "xfmamba_s_two_view_224_inference",
-        "value": round(best_ips, 2),
+        "value": value,
         "unit": "images/sec/chip",
-        "vs_baseline": round(best_ips / A100_REFERENCE_IPS, 3),
-        "batch_size": best_bs,
+        "vs_baseline": round(value / A100_REFERENCE_IPS, 3),
+        "batch_size": HEADLINE_BS,
+        "median": value,
+        "spread": round(head["img_per_s_max"] - head["img_per_s_min"], 2),
+        "n_repeats": head["n_repeats"],
+        "per_batch": per_batch,
     }
 
     # training trend line (BASELINE config 4): run in a subprocess with a

@@ -4,6 +4,7 @@ import sys, time
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 from chain_timer import chain_time
 from xfmamba_tpu.models.tops import two_view_xfmamba

@@ -89,6 +89,8 @@ def test_train_and_infer_cli(mura_tree, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "gradcam.npz"))
     cams = np.load(os.path.join(out_dir, "gradcam.npz"))
     assert cams["cam_a"].shape[1:] == (32, 32)
+    # heatmap-on-image overlay renders (reference `2_inference_mura.py:189`)
+    assert os.path.exists(os.path.join(out_dir, "gradcam_overlay_0.png"))
 
 
 @pytest.mark.slow

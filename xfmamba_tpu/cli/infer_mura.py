@@ -114,6 +114,40 @@ def main(argv=None):
                  cam_a=np.asarray(cam_a), cam_b=np.asarray(cam_b),
                  image1=batch["image1"], image2=batch["image2"])
         print(f"Grad-CAM saved to {args.out_dir}/gradcam.npz")
+        # heatmap-on-image overlay PNGs (the reference's gated plot path,
+        # `2_inference_mura.py:189-252`), rendered via the red-highlight
+        # blend in utils.saliency.overlay
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from xfmamba_tpu.utils.saliency import overlay
+            n_show = min(8, cam_a.shape[0])
+            for i in range(n_show):
+                fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+                for ax, img, cam, name in (
+                        (axes[0], batch["image1"][i, ..., 0], cam_a[i],
+                         "view A"),
+                        (axes[1], batch["image2"][i, ..., 0], cam_b[i],
+                         "view B")):
+                    # inputs are Normalize()d; min-max back to [0,1] for
+                    # display (as the reference's plot path does)
+                    img = np.asarray(img, np.float32)
+                    span = img.max() - img.min()
+                    img = (img - img.min()) / (span if span > 0 else 1.0)
+                    ax.imshow(np.asarray(overlay(jnp.asarray(img),
+                                                 jnp.asarray(cam))))
+                    ax.set_title(f"Grad-CAM {name}")
+                    ax.axis("off")
+                fig.tight_layout()
+                fig.savefig(os.path.join(args.out_dir,
+                                         f"gradcam_overlay_{i}.png"),
+                            dpi=120)
+                plt.close(fig)
+            print(f"Grad-CAM overlays saved to {args.out_dir}/"
+                  f"gradcam_overlay_*.png ({n_show} samples)")
+        except Exception as e:  # matplotlib optional, npz already written
+            print(f"Grad-CAM overlay rendering skipped: {e}")
     return aucs
 
 

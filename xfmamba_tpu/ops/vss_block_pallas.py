@@ -258,6 +258,13 @@ def _gelu_tanh(x):
 def _gelu_exact(x):
     if GELU_TANH:
         return _gelu_tanh(x)
+    if x.dtype == jnp.bfloat16:
+        # mirror _gelu_tanh's bf16 branch: the erf rational's exp and
+        # divides cannot lower as bf16 vectors on Mosaic — run the whole
+        # approximation in f32 and cast the final map back down.
+        x32 = x.astype(jnp.float32)
+        return (0.5 * x32 * (1.0 + _erf_approx(x32 * (2.0 ** -0.5)))
+                ).astype(x.dtype)
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 

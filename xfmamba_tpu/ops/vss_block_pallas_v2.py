@@ -221,7 +221,8 @@ def _chain_cols(A_c, B_c, W, G, widx, reverse):
     return jnp.where(edge, 0.0, sh)
 
 
-def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
+def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps,
+                mm_dtype,
                 x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
                 lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2, m1, m2,
                 hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref):
@@ -241,7 +242,7 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
     # packed-bf16 maps on the inference path only (see BF16_MAPS above):
     # fold_ln is the inference-only flag, so the train forward (which the
     # block-level adjoint recomputes op-for-op in f32) is untouched.
-    cdt = jnp.bfloat16 if (BF16_MAPS and fold_ln
+    cdt = jnp.bfloat16 if (bf16_maps and fold_ln
                            and mm_dtype == jnp.bfloat16) else f32
 
     if fold_ln:
@@ -360,7 +361,7 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
 
 
 def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
-                         mm_dtype, out_dtype, with_masks,
+                         bf16_maps, mm_dtype, out_dtype, with_masks,
                          *refs):
     if with_masks:
         (x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
@@ -379,7 +380,7 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
          af_ref, bf_ref, ar_ref, br_ref) = refs
         m1_ref = m2_ref = None
     res = _block_body(
-        H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
+        H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps, mm_dtype,
         x_ref[0].astype(jnp.float32), ln1_ref[...], w_in_ref[...],
         w_conv_ref[...], b_conv_ref[...], w_xp_ref[...], w_dt_ref[...],
         b_dt_ref[...], A_ref[...], Dsum_ref[...], lno_ref[...],
@@ -394,12 +395,13 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
                                               "vmem_mb", "group",
-                                              "interleaved", "fold_ln"))
-def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
-                       Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
-                       H, W, conv_bias, fuse_mlp, interpret=False,
-                       vmem_mb=100, group=8, interleaved=False,
-                       m1=None, m2=None, fold_ln=False):
+                                              "interleaved", "fold_ln",
+                                              "bf16_maps"))
+def _vss_block_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
+                           Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
+                           H, W, conv_bias, fuse_mlp, interpret=False,
+                           vmem_mb=100, group=8, interleaved=False,
+                           m1=None, m2=None, fold_ln=False, bf16_maps=False):
     """v2 entry.  x (B, L, d); returns (B, L, d).  With ``interleaved``,
     x is already (B//G, L*G, d) position-major and stays so on return
     (stage-level callers hoist the layout change outside the block loop)."""
@@ -422,7 +424,7 @@ def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     assert not (fold_ln and with_masks)  # fold is inference-only
     kernel = functools.partial(
         _vss_block_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, fold_ln,
-        mm_dtype, x.dtype, with_masks)
+        bf16_maps, mm_dtype, x.dtype, with_masks)
     blk_x = pl.BlockSpec((1, L * G, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_m = pl.BlockSpec((1, L * G, 1), lambda b: (b, 0, 0),
@@ -454,6 +456,18 @@ def _vss_block_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     return y
 
 
+def _vss_block_call_v2(*args, bf16_maps=None, **kw):
+    """Call-time wrapper: resolves the module-level ``BF16_MAPS`` flag into
+    a STATIC jit argument so flag flips recompile instead of silently
+    returning stale-compiled results (the jit cache keys on it)."""
+    if bf16_maps is None:
+        bf16_maps = BF16_MAPS
+    return _vss_block_call_v2_jit(*args, bf16_maps=bf16_maps, **kw)
+
+
+_vss_block_call_v2.clear_cache = _vss_block_call_v2_jit.clear_cache
+
+
 def vss_block_fused_v2(x, p, H, W, conv_bias, fuse_mlp, group=8):
     """Convenience wrapper mirroring `vss_block_fused` (inference only)."""
     args = pack_vss_block_params(p, x.dtype, fuse_mlp, fold_ln=True)
@@ -466,7 +480,7 @@ def vss_block_fused_v2(x, p, H, W, conv_bias, fuse_mlp, group=8):
 # ---------------------------------------------------------------------
 
 def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
-                         mm_dtype, out_dtype,
+                         bf16_maps, mm_dtype, out_dtype,
                          x_ref, ln1_ref, w_in_ref, w_conv_ref, b_conv_ref,
                          w_xp_ref, w_dt_ref, b_dt_ref, A_ref, Dsum_ref,
                          lno_ref, w_out_ref, ln2_ref,
@@ -485,7 +499,7 @@ def _vss_stage_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
         xs_ref[...] = x_ref[0]
 
     res = _block_body(
-        H, W, R, G, conv_bias, fuse_mlp, fold_ln, mm_dtype,
+        H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps, mm_dtype,
         xs_ref[...].astype(jnp.float32), ln1_ref[0], w_in_ref[0],
         w_conv_ref[0], b_conv_ref[0], w_xp_ref[0], w_dt_ref[0],
         b_dt_ref[0], A_ref[0], Dsum_ref[0], lno_ref[0], w_out_ref[0],
@@ -507,11 +521,12 @@ def pack_vss_stage_params(ps, mm_dtype, fuse_mlp, fold_ln=False):
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
                                               "vmem_mb", "group",
-                                              "fold_ln"))
-def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
-                       Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
-                       H, W, conv_bias, fuse_mlp, interpret=False,
-                       vmem_mb=100, group=8, fold_ln=False):
+                                              "fold_ln", "bf16_maps"))
+def _vss_stage_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
+                           Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
+                           H, W, conv_bias, fuse_mlp, interpret=False,
+                           vmem_mb=100, group=8, fold_ln=False,
+                           bf16_maps=False):
     """Stage entry.  x (B, L, d); weights carry a leading depth axis;
     returns (B, L, d) after all `depth` blocks."""
     B, L, d = x.shape
@@ -525,7 +540,7 @@ def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     x = _interleave(x, G)
     kernel = functools.partial(
         _vss_stage_kernel_v2, H, W, R, G, conv_bias, fuse_mlp, fold_ln,
-        mm_dtype, x.dtype)
+        bf16_maps, mm_dtype, x.dtype)
     Lg = L * G
     blk_x = pl.BlockSpec((1, Lg, d), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -551,6 +566,16 @@ def _vss_stage_call_v2(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
         interpret=interpret,
     )(x, *weights)
     return _deinterleave(y, G, L).reshape(B, L, d)
+
+
+def _vss_stage_call_v2(*args, bf16_maps=None, **kw):
+    """Call-time wrapper: see `_vss_block_call_v2`."""
+    if bf16_maps is None:
+        bf16_maps = BF16_MAPS
+    return _vss_stage_call_v2_jit(*args, bf16_maps=bf16_maps, **kw)
+
+
+_vss_stage_call_v2.clear_cache = _vss_stage_call_v2_jit.clear_cache
 
 
 def vss_stage_fused_v2(x, ps, H, W, conv_bias, fuse_mlp, group=8):
