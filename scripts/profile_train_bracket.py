@@ -23,17 +23,35 @@ labels = jnp.zeros((BS,), jnp.int32)
 state = init_train_state(model, opt, jax.random.key(0), (x1, x2))
 RNGS = {"dropout": jax.random.key(1)}
 
+def variables(p):
+    v = {"params": p}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+MUT = ["batch_stats"] if state.batch_stats else False
+
 # 1. fwd only, train mode
 def fwd(p, a, b):
-    return model.apply({"params": p}, a, b, deterministic=False,
-                       rngs=RNGS).astype(jnp.float32).sum()
+    out = model.apply(variables(p), a, b, deterministic=False,
+                      rngs=RNGS, mutable=MUT)
+    logits = out[0] if MUT else out
+    return logits.astype(jnp.float32).sum()
 t = chain_time(lambda a, b: fwd(state.params, a, b), [x1, x2])
 print(f"fwd (train mode): {t*1e3:.2f} ms", flush=True)
 
+# 1b. fwd only, eval mode (the fused inference stage path, for contrast)
+def fwd_eval(p, a, b):
+    return model.apply(variables(p), a, b,
+                       deterministic=True).astype(jnp.float32).sum()
+t = chain_time(lambda a, b: fwd_eval(state.params, a, b), [x1, x2])
+print(f"fwd (eval mode): {t*1e3:.2f} ms", flush=True)
+
 # 2. value_and_grad only
 def loss_fn(p, a, b):
-    logits = model.apply({"params": p}, a, b, deterministic=False,
-                         rngs=RNGS)
+    out = model.apply(variables(p), a, b, deterministic=False,
+                      rngs=RNGS, mutable=MUT)
+    logits = out[0] if MUT else out
     return cross_entropy_loss(logits, labels)
 vg = jax.value_and_grad(loss_fn)
 t = chain_time(lambda a, b: vg(state.params, a, b)[0], [x1, x2])

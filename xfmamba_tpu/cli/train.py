@@ -73,6 +73,9 @@ def parse_args(argv=None):
                    help="activation rematerialization")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard the batch over all local devices")
+    p.add_argument("--device_preprocess", type=int, default=0,
+                   help="stage u8 on host; run resize/crop/flip/rotate/"
+                        "normalize on-device inside the jitted step")
     return p.parse_args(argv)
 
 
@@ -121,6 +124,7 @@ def main(argv=None):
         data_parallel=bool(args.data_parallel), wandb=bool(args.wandb))
     cfg_dict = dataclasses.asdict(cfg)
     cfg_dict["root_dir"] = cfg.data_root  # mura loader's key
+    cfg_dict["device_preprocess"] = bool(args.device_preprocess)
 
     if cfg.wandb:
         try:
@@ -137,11 +141,22 @@ def main(argv=None):
 
     train_loader, val_loader, _ = build_loaders(args, cfg_dict)
 
+    preprocess = None
+    if args.device_preprocess:
+        if args.dataset == "chexpert":
+            from xfmamba_tpu.data.device_pipeline import (
+                chexpert_device_preprocess)
+            preprocess = chexpert_device_preprocess(cfg.image_size)
+        else:
+            from xfmamba_tpu.data.device_pipeline import (
+                mura_device_preprocess)
+            preprocess = mura_device_preprocess(cfg.image_size)
+
     from xfmamba_tpu.train.driver import fit
     os.makedirs(cfg.savemodel_path, exist_ok=True)
     print(f"devices: {jax.devices()}")
     state, history = fit(model, cfg, train_loader, val_loader,
-                         out_dir=cfg.savemodel_path)
+                         out_dir=cfg.savemodel_path, preprocess=preprocess)
     print(f"done; best val loss "
           f"{min(h['val']['loss'] for h in history):.4f}")
     return state, history

@@ -117,8 +117,13 @@ def create_train_val_test_data_loaders(train_root_dirs, train_csv_file,
     samples = build_samples(train_csv_file, train_root_dirs,
                             drop_no_finding=drop_no_finding)
     tr_i, va_i, te_i = reference_split_indices(len(samples), config["seed"])
-    tt = chexpert_train_transform(tuple(config["image_size"]))
-    et = chexpert_eval_transform(tuple(config["image_size"]))
+    if config.get("device_preprocess"):
+        from xfmamba_tpu.data.device_pipeline import StagingTransform
+        tt = StagingTransform(tuple(config["image_size"]))
+        et = StagingTransform(tuple(config["image_size"]))
+    else:
+        tt = chexpert_train_transform(tuple(config["image_size"]))
+        et = chexpert_eval_transform(tuple(config["image_size"]))
     nw = config.get("num_workers", 4)
 
     def mk(idxs, tf):

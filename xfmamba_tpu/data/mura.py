@@ -149,8 +149,15 @@ def create_data_loaders(train_image_paths_csv, train_study_labels_csv,
         return list(d[["image_path1", "image_path2", "label"]]
                     .itertuples(index=False, name=None))
 
-    tt = mura_train_transform(tuple(config["image_size"]))
-    et = mura_eval_transform(tuple(config["image_size"]))
+    if config.get("device_preprocess"):
+        # host stages u8 only; resize/crop/flip/rotate/normalize run
+        # on-device (`data.device_pipeline.DevicePreprocess`)
+        from xfmamba_tpu.data.device_pipeline import StagingTransform
+        tt = StagingTransform(tuple(config["image_size"]))
+        et = StagingTransform(tuple(config["image_size"]))
+    else:
+        tt = mura_train_transform(tuple(config["image_size"]))
+        et = mura_eval_transform(tuple(config["image_size"]))
     mk = lambda d, tf: TwoViewSamples(to_samples(d), _load_pair, tf)
     nw = config.get("num_workers", 4)
     train_loader = TwoViewLoader(mk(train_df, tt), config["batch_size"],

@@ -134,9 +134,13 @@ def write_epoch_artifacts(out_dir: str, epoch: int, stats: Dict,
 def fit(model, cfg: TrainConfig, train_loader, val_loader,
         init_state: Optional[TrainState] = None, example_batch=None,
         log_fn: Callable = print, out_dir: Optional[str] = None,
-        save_checkpoints: bool = True):
+        save_checkpoints: bool = True, preprocess=None):
     """Full training run with early stopping and LR scheduling; returns
-    (final_state, history)."""
+    (final_state, history).
+
+    ``preprocess``: optional `data.device_pipeline.DevicePreprocess` —
+    loaders must then emit staged u8 batches (``device_preprocess`` config
+    flag) and augmentation/normalization runs inside the jitted steps."""
     from xfmamba_tpu.checkpoint.io import save_npz
 
     multilabel = cfg.num_tasks > 1 or cfg.dataset == "chexpert"
@@ -149,11 +153,14 @@ def fit(model, cfg: TrainConfig, train_loader, val_loader,
         from xfmamba_tpu.train.loop import init_train_state
         inputs = (jnp.asarray(example_batch["image1"]),
                   jnp.asarray(example_batch["image2"]))
+        if preprocess is not None:
+            inputs = tuple(preprocess.eval_batch(im) for im in inputs)
         init_state = init_train_state(model, optimizer,
                                       jax.random.key(cfg.seed), inputs)
     state = init_state
 
-    train_step, eval_step = make_train_step(model, optimizer, multilabel)
+    train_step, eval_step = make_train_step(model, optimizer, multilabel,
+                                            preprocess=preprocess)
     sched = lr_schedule(cfg)
     out_dir = out_dir or cfg.savemodel_path
     os.makedirs(out_dir, exist_ok=True)

@@ -97,10 +97,15 @@ def bce_with_logits_loss(logits, labels):
 
 def make_train_step(model, optimizer, multilabel: bool,
                     two_view: bool = True, donate: bool = True,
-                    jit_compile: bool = True):
+                    jit_compile: bool = True, preprocess=None):
     """Build the fused train step (fwd + bwd + optimizer + metrics) and eval
     step.  Set ``jit_compile=False`` to get the raw functions (e.g. for
-    `parallel.make_parallel_train_step` to jit with mesh shardings)."""
+    `parallel.make_parallel_train_step` to jit with mesh shardings).
+
+    ``preprocess``: optional `data.device_pipeline.DevicePreprocess` —
+    batches then carry staged u8 images and the resize/crop/flip/rotate/
+    normalize pipeline runs ON DEVICE, fused into the jitted step (4x less
+    host->device traffic; the north-star device-preprocessing stage)."""
     loss_fn_inner = bce_with_logits_loss if multilabel else cross_entropy_loss
 
     def apply_model(params, batch_stats, batch, rngs, train):
@@ -109,6 +114,14 @@ def make_train_step(model, optimizer, multilabel: bool,
             variables["batch_stats"] = batch_stats
         inputs = (batch["image1"], batch["image2"]) if two_view \
             else (batch["image1"],)
+        if preprocess is not None:
+            if train:
+                pkey = jax.random.fold_in(rngs["dropout"], 0x5eed)
+                keys = jax.random.split(pkey, len(inputs))
+                inputs = tuple(preprocess.train_batch(im, k)
+                               for im, k in zip(inputs, keys))
+            else:
+                inputs = tuple(preprocess.eval_batch(im) for im in inputs)
         mutable = ["batch_stats"] if (train and batch_stats) else False
         out = model.apply(variables, *inputs, deterministic=not train,
                           rngs=rngs if train else None, mutable=mutable)
