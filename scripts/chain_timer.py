@@ -20,7 +20,8 @@ def chain_time(fn, args, k_long=8, reps=3, perturb_idx=0):
             s = jnp.tanh(leaf.sum().astype(jnp.float32))
             args = list(args)
             a = args[perturb_idx]
-            args[perturb_idx] = a + (s * 1e-12).astype(a.dtype)
+            args[perturb_idx] = jax.tree_util.tree_map(
+                lambda leaf: leaf + (s * 1e-12).astype(leaf.dtype), a)
             return (tuple(args), acc + s)
         (_, acc) = jax.lax.fori_loop(0, k, body,
                                      (tuple(args), jnp.zeros((), jnp.float32)))

@@ -129,37 +129,32 @@ def mxu_rate():
 
 # ------------------------------------------------------------- stage timing
 def stage_args(H, W, d, depth, key):
-    di, R, hd = 2 * d, max(1, d // 16), 4 * d
-    L = H * W
-    ks = iter(jax.random.split(key, 8))
+    """Real VSSBlock params packed with fold_ln=True (the production
+    inference layout of the bf16 model path)."""
+    from xfmamba_tpu.models.vssm import VSSBlock
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import pack_vss_stage_params
 
-    def rnd(shape, dt, scale=0.02):
-        return (jax.random.normal(next(ks), shape, f32) * scale).astype(dt)
-
-    x = rnd((B, L, d), bf16, 1.0)
-    Dp = depth
-    return [x,
-            jnp.stack([jnp.stack([jnp.ones((d,), f32),
-                                  jnp.zeros((d,), f32)])] * Dp),
-            rnd((Dp, d, di), bf16), rnd((Dp, 9, di), f32),
-            jnp.zeros((Dp, 1, di), f32),
-            rnd((Dp, di, 4 * R + 8), bf16), rnd((Dp, 4 * R, di), bf16),
-            jnp.zeros((Dp, 4, di), f32), -jnp.ones((Dp, 4, di), f32),
-            jnp.ones((Dp, 1, di), f32),
-            jnp.stack([jnp.stack([jnp.ones((di,), f32),
-                                  jnp.zeros((di,), f32)])] * Dp),
-            rnd((Dp, di, d), bf16),
-            jnp.stack([jnp.stack([jnp.ones((d,), f32),
-                                  jnp.zeros((d,), f32)])] * Dp),
-            rnd((Dp, d, hd), bf16), jnp.zeros((Dp, 1, hd), f32),
-            rnd((Dp, hd, d), bf16), jnp.zeros((Dp, 1, d), f32)]
+    blk = VSSBlock(hidden_dim=d, drop_path=0.0, ssm_d_state=1,
+                   ssm_ratio=2.0, ssm_act="silu", ssm_conv=3,
+                   ssm_conv_bias=False, ssm_init="v0",
+                   forward_type="v05_noz", mlp_ratio=4.0, mlp_act="gelu",
+                   dtype=bf16)
+    k1, k2 = jax.random.split(key)
+    x1 = jnp.zeros((1, H, W, d), bf16)
+    ps = [blk.init(jax.random.fold_in(k1, j), x1)["params"]
+          for j in range(depth)]
+    packed = pack_vss_stage_params(ps, bf16, True, fold_ln=True)
+    x = jax.random.normal(k2, (B, H * W, d), f32).astype(bf16)
+    return [x] + list(packed)
 
 
 def t_stage(args, H, W, G):
+    # clear so the dots-doubled monkeypatch (trace-time) takes effect
     V._vss_stage_call_v2.clear_cache()
     return chain_time(
         lambda *a: V._vss_stage_call_v2(
-            *a, H=H, W=W, conv_bias=False, fuse_mlp=True, group=G),
+            *a, H=H, W=W, conv_bias=False, fuse_mlp=True, group=G,
+            fold_ln=True),
         args, k_long=8)
 
 

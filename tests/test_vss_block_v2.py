@@ -203,3 +203,39 @@ def test_v2_bf16_maps_inference_path():
     assert err16 < 2.5e-2
     # bf16 maps may add at most ~one bf16 quantum of extra error
     assert err16 < err32 + 1.2e-2, (err16, err32)
+
+
+def test_v2_bf16_scratch_inference_path():
+    """BF16_SCRATCH: the serial scans' (a, b) maps and h sequences stored
+    as bf16 (halving the scan loop's dynamic-slice VMEM traffic) while the
+    FMA chain itself still accumulates in f32 registers.  Numerics: the
+    maps are rounded ONCE (no compounding), so the error stays within the
+    bf16 e2e budget of the fused inference path."""
+    from xfmamba_tpu.ops import vss_block_pallas_v2 as v2
+
+    H, W, G, d = 6, 14, 4, 32
+    B = 4
+    blk, variables, x = _make_block(d, H, W, B, True, 4.0, seed=11)
+    y_flax = blk.apply(variables, x)
+    p = variables["params"]
+    xl = x.reshape(B, H * W, d).astype(jnp.bfloat16)
+    args = pack_vss_block_params(p, jnp.bfloat16, True, fold_ln=True)
+    assert not v2.BF16_SCRATCH  # default off until the on-chip A/B says so
+    ref = np.asarray(y_flax)
+    scale = np.abs(ref).max()
+    y_k = _vss_block_call_v2(xl, *args, H=H, W=W, conv_bias=True,
+                             fuse_mlp=True, interpret=True, group=G,
+                             fold_ln=True, bf16_scratch=True)
+    err = np.abs(np.asarray(y_k.astype(jnp.float32)).reshape(ref.shape)
+                 - ref).max() / scale
+    assert err < 2.5e-2, err
+    # stage-stacked variant compiles and matches too
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import (
+        _vss_stage_call_v2, pack_vss_stage_params)
+    packed = pack_vss_stage_params([p], jnp.bfloat16, True, fold_ln=True)
+    y_st = _vss_stage_call_v2(xl, *packed, H=H, W=W, conv_bias=True,
+                              fuse_mlp=True, interpret=True, group=G,
+                              fold_ln=True, bf16_scratch=True)
+    err_st = np.abs(np.asarray(y_st.astype(jnp.float32)).reshape(ref.shape)
+                    - ref).max() / scale
+    assert err_st < 2.5e-2, err_st

@@ -66,6 +66,15 @@ FUSED_STAGE = True
 # 1155.1 img/s.  Kept as a tested, gated ablation (interpret-mode test
 # pins numerics); do not retry without a layout-level change.
 BF16_MAPS = False
+# bf16 scan-chain scratch on the INFERENCE path (fold_ln): the serial
+# scans' per-iteration dynamic-slice loads/stores are the expensive part
+# of the loop (see ROW_MACRO); storing the (a, b) maps and the h state
+# sequences as bf16 halves that VMEM traffic.  The FMA chain still
+# accumulates in f32 registers (jnp promotion) — only the STORED maps are
+# rounded once, so the error does not compound along the chain the way a
+# bf16-state scan would.  Gated for A/B on-chip (scripts/ab_bf16_scratch
+# .py) against the 2e-2 e2e fused-vs-composable budget.
+BF16_SCRATCH = False
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
@@ -136,14 +145,18 @@ def _serial_row_pair(af, bf, ar, br, L, G, out_f, out_r):
                 sf = slice(t * G, (t + 1) * G)
                 j = M * S - 1 - t
                 sr = slice(j * G, (j + 1) * G)
+                # bf16 scratch loads promote to the f32 carry (BF16_SCRATCH)
                 hf = a_f[sf] * hf + b_f[sf]
                 hr = a_r[sr] * hr + b_r[sr]
                 outs_f.append(hf)
                 outs_r.insert(0, hr)
+            odt = out_f.dtype
             out_f[pl.ds(base_f, 8 * M), :] = (
-                jnp.concatenate(outs_f, axis=0) if M * S > 1 else outs_f[0])
+                jnp.concatenate(outs_f, axis=0) if M * S > 1
+                else outs_f[0]).astype(odt)
             out_r[pl.ds(base_r, 8 * M), :] = (
-                jnp.concatenate(outs_r, axis=0) if M * S > 1 else outs_r[0])
+                jnp.concatenate(outs_r, axis=0) if M * S > 1
+                else outs_r[0]).astype(odt)
             return hf, hr
 
         jax.lax.fori_loop(0, TM, body1, (zero, zero))
@@ -172,8 +185,8 @@ def _serial_col_pair(af, bf, ar, br, H, W, G, out_f, out_r):
         hf, pf, hr, pr = carry
         off_f = pl.multiple_of(h * WG, 8)
         off_r = pl.multiple_of((H - 1 - h) * WG, 8)
-        a_f = af[pl.ds(off_f, WG), :]
-        a_r = ar[pl.ds(off_r, WG), :]
+        a_f = af[pl.ds(off_f, WG), :].astype(f32)
+        a_r = ar[pl.ds(off_r, WG), :].astype(f32)
         hf = a_f * hf + bf[pl.ds(off_f, WG), :]
         pf = a_f * pf
         hr = a_r * hr + br[pl.ds(off_r, WG), :]
@@ -193,8 +206,8 @@ def _serial_col_pair(af, bf, ar, br, H, W, G, out_f, out_r):
         off_r = pl.multiple_of((H - 1 - h) * WG, 8)
         hf = af[pl.ds(off_f, WG), :] * hf + bf[pl.ds(off_f, WG), :]
         hr = ar[pl.ds(off_r, WG), :] * hr + br[pl.ds(off_r, WG), :]
-        out_f[pl.ds(off_f, WG), :] = hf
-        out_r[pl.ds(off_r, WG), :] = hr
+        out_f[pl.ds(off_f, WG), :] = hf.astype(out_f.dtype)
+        out_r[pl.ds(off_r, WG), :] = hr.astype(out_r.dtype)
         return hf, hr
 
     jax.lax.fori_loop(0, H, pass2, (c_f, c_r))
@@ -308,23 +321,27 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps,
 
     y_acc = u * Dsum.astype(f32)
 
+    sdt = af_ref.dtype  # f32, or bf16 under BF16_SCRATCH
+
     # ---- row directions (k=0 forward, k=2 reverse): flat serial chains
     a_f, b_f = dir_ab(0)
     a_r, b_r = dir_ab(2)
-    af_ref[...], bf_ref[...] = a_f, b_f
-    ar_ref[...], br_ref[...] = a_r, b_r
+    af_ref[...], bf_ref[...] = a_f.astype(sdt), b_f.astype(sdt)
+    ar_ref[...], br_ref[...] = a_r.astype(sdt), b_r.astype(sdt)
     _serial_row_pair(af_ref, bf_ref, ar_ref, br_ref, L, G, hf_ref, hr_ref)
-    y_acc = y_acc + Ck(0) * hf_ref[...] + Ck(2) * hr_ref[...]
+    y_acc = (y_acc + Ck(0) * hf_ref[...].astype(f32)
+             + Ck(2) * hr_ref[...].astype(f32))
 
     # ---- column directions (k=1 forward, k=3 reverse): two-pass slab
     # serial scans (carry-init second pass writes exact flat states)
     a_f, b_f = dir_ab(1)
     a_r, b_r = dir_ab(3)
-    af_ref[...], bf_ref[...] = a_f, b_f
-    ar_ref[...], br_ref[...] = a_r, b_r
+    af_ref[...], bf_ref[...] = a_f.astype(sdt), b_f.astype(sdt)
+    ar_ref[...], br_ref[...] = a_r.astype(sdt), b_r.astype(sdt)
     _serial_col_pair(af_ref, bf_ref, ar_ref, br_ref, H, W, G, hf_ref,
                      hr_ref)
-    y_acc = y_acc + Ck(1) * hf_ref[...] + Ck(3) * hr_ref[...]
+    y_acc = (y_acc + Ck(1) * hf_ref[...].astype(f32)
+             + Ck(3) * hr_ref[...].astype(f32))
 
     if fold_ln:
         y = _layer_norm(y_acc, None, None, use_mxu=True)
@@ -396,12 +413,13 @@ def _vss_block_kernel_v2(H, W, R, G, conv_bias, fuse_mlp, fold_ln,
                                               "fuse_mlp", "interpret",
                                               "vmem_mb", "group",
                                               "interleaved", "fold_ln",
-                                              "bf16_maps"))
+                                              "bf16_maps", "bf16_scratch"))
 def _vss_block_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
                            Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                            H, W, conv_bias, fuse_mlp, interpret=False,
                            vmem_mb=100, group=8, interleaved=False,
-                           m1=None, m2=None, fold_ln=False, bf16_maps=False):
+                           m1=None, m2=None, fold_ln=False, bf16_maps=False,
+                           bf16_scratch=False):
     """v2 entry.  x (B, L, d); returns (B, L, d).  With ``interleaved``,
     x is already (B//G, L*G, d) position-major and stays so on return
     (stage-level callers hoist the layout change outside the block loop)."""
@@ -446,7 +464,10 @@ def _vss_block_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
         in_specs=in_specs,
         out_specs=blk_x,
         out_shape=jax.ShapeDtypeStruct((B // G, L * G, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((L * G, di), f32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM(
+            (L * G, di),
+            jnp.bfloat16 if (bf16_scratch and fold_ln) else f32)
+            for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
@@ -456,13 +477,17 @@ def _vss_block_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     return y
 
 
-def _vss_block_call_v2(*args, bf16_maps=None, **kw):
-    """Call-time wrapper: resolves the module-level ``BF16_MAPS`` flag into
-    a STATIC jit argument so flag flips recompile instead of silently
-    returning stale-compiled results (the jit cache keys on it)."""
+def _vss_block_call_v2(*args, bf16_maps=None, bf16_scratch=None, **kw):
+    """Call-time wrapper: resolves the module-level ``BF16_MAPS`` /
+    ``BF16_SCRATCH`` flags into STATIC jit arguments so flag flips
+    recompile instead of silently returning stale-compiled results (the
+    jit cache keys on them)."""
     if bf16_maps is None:
         bf16_maps = BF16_MAPS
-    return _vss_block_call_v2_jit(*args, bf16_maps=bf16_maps, **kw)
+    if bf16_scratch is None:
+        bf16_scratch = BF16_SCRATCH
+    return _vss_block_call_v2_jit(*args, bf16_maps=bf16_maps,
+                                  bf16_scratch=bf16_scratch, **kw)
 
 
 _vss_block_call_v2.clear_cache = _vss_block_call_v2_jit.clear_cache
@@ -521,12 +546,13 @@ def pack_vss_stage_params(ps, mm_dtype, fuse_mlp, fold_ln=False):
 @functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
                                               "fuse_mlp", "interpret",
                                               "vmem_mb", "group",
-                                              "fold_ln", "bf16_maps"))
+                                              "fold_ln", "bf16_maps",
+                                              "bf16_scratch"))
 def _vss_stage_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
                            Dsum, lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2,
                            H, W, conv_bias, fuse_mlp, interpret=False,
                            vmem_mb=100, group=8, fold_ln=False,
-                           bf16_maps=False):
+                           bf16_maps=False, bf16_scratch=False):
     """Stage entry.  x (B, L, d); weights carry a leading depth axis;
     returns (B, L, d) after all `depth` blocks."""
     B, L, d = x.shape
@@ -560,7 +586,10 @@ def _vss_stage_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
         out_specs=blk_x,
         out_shape=jax.ShapeDtypeStruct((B // G, Lg, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((Lg, d), x.dtype)]
-        + [pltpu.VMEM((Lg, di), f32) for _ in range(6)],
+        + [pltpu.VMEM(
+            (Lg, di),
+            jnp.bfloat16 if (bf16_scratch and fold_ln) else f32)
+            for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
@@ -568,11 +597,14 @@ def _vss_stage_call_v2_jit(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     return _deinterleave(y, G, L).reshape(B, L, d)
 
 
-def _vss_stage_call_v2(*args, bf16_maps=None, **kw):
+def _vss_stage_call_v2(*args, bf16_maps=None, bf16_scratch=None, **kw):
     """Call-time wrapper: see `_vss_block_call_v2`."""
     if bf16_maps is None:
         bf16_maps = BF16_MAPS
-    return _vss_stage_call_v2_jit(*args, bf16_maps=bf16_maps, **kw)
+    if bf16_scratch is None:
+        bf16_scratch = BF16_SCRATCH
+    return _vss_stage_call_v2_jit(*args, bf16_maps=bf16_maps,
+                                  bf16_scratch=bf16_scratch, **kw)
 
 
 _vss_stage_call_v2.clear_cache = _vss_stage_call_v2_jit.clear_cache
