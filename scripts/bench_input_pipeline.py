@@ -23,8 +23,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-BS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+LOADER_ONLY = "--loader-only" in sys.argv
+argv = [a for a in sys.argv if not a.startswith("--")]
+N_BATCHES = int(argv[1]) if len(argv) > 1 else 20
+BS = int(argv[2]) if len(argv) > 2 else 64
 
 
 def make_dataset(root, n_pairs):
@@ -94,6 +96,11 @@ def main():
     t_host = time.time() - t0
     print(f"loader-only (host f32 transform): {n_h / t_host:.1f} pairs/s "
           f"(u8 staging is {t_host / t_loader:.2f}x)", flush=True)
+
+    if LOADER_ONLY:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        return
 
     # ---- device side: preprocess (eval) + forward, one jit
     pp = mura_device_preprocess((224, 224))
