@@ -72,9 +72,23 @@ BF16_MAPS = False
 # sequences as bf16 halves that VMEM traffic.  The FMA chain still
 # accumulates in f32 registers (jnp promotion) — only the STORED maps are
 # rounded once, so the error does not compound along the chain the way a
-# bf16-state scan would.  Gated for A/B on-chip (scripts/ab_bf16_scratch
-# .py) against the 2e-2 e2e fused-vs-composable budget.
-BF16_SCRATCH = False
+# bf16-state scan would.  On-chip one-process A/B (scripts/
+# ab_bf16_scratch.py, 2026-08-21): stage0 1.49x (15.14 -> 10.15 ms),
+# stage3 1.18x, stage1 1.01x, stage2 0.99x — the win tracks scan-chain
+# VMEM traffic (stage0's Lg is the longest; stage3 is lane-widest), so
+# the default is a per-geometry policy, not a global flip.  Stage-level
+# rel-err vs f32 scratch: 5.2e-3 (s0) / 4.0e-3 (s3), inside the 2e-2
+# e2e fused-vs-composable budget (re-verified on-chip after the flip).
+# Tri-state: None = per-geometry auto, True/False = force everywhere.
+BF16_SCRATCH = None
+
+
+def _bf16_scratch_auto(L, d):
+    """Per-geometry default (measured, see BF16_SCRATCH): ON for the
+    long-chain stage-0 geometry (L=3136) and the lane-wide stage-3
+    geometry (d>=768 at tiny L); OFF for the mid stages where it was a
+    wash/regression on-chip."""
+    return L >= 2048 or d >= 768
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
@@ -486,6 +500,9 @@ def _vss_block_call_v2(*args, bf16_maps=None, bf16_scratch=None, **kw):
         bf16_maps = BF16_MAPS
     if bf16_scratch is None:
         bf16_scratch = BF16_SCRATCH
+    if bf16_scratch is None:
+        bf16_scratch = _bf16_scratch_auto(kw["H"] * kw["W"],
+                                          args[0].shape[-1])
     return _vss_block_call_v2_jit(*args, bf16_maps=bf16_maps,
                                   bf16_scratch=bf16_scratch, **kw)
 
@@ -603,6 +620,9 @@ def _vss_stage_call_v2(*args, bf16_maps=None, bf16_scratch=None, **kw):
         bf16_maps = BF16_MAPS
     if bf16_scratch is None:
         bf16_scratch = BF16_SCRATCH
+    if bf16_scratch is None:
+        bf16_scratch = _bf16_scratch_auto(kw["H"] * kw["W"],
+                                          args[0].shape[-1])
     return _vss_stage_call_v2_jit(*args, bf16_maps=bf16_maps,
                                   bf16_scratch=bf16_scratch, **kw)
 
