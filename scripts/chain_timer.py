@@ -27,15 +27,21 @@ def chain_time(fn, args, k_long=8, reps=3, perturb_idx=0):
                                      (tuple(args), jnp.zeros((), jnp.float32)))
         return acc
 
-    def timed(k):
-        float(chained(tuple(args), k))  # compile+warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(chained(tuple(args), k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def once(k):
+        t0 = time.perf_counter()
+        float(chained(tuple(args), k))
+        return time.perf_counter() - t0
 
-    t1 = timed(1)
-    tk = timed(k_long)
-    return (tk - t1) / (k_long - 1)
+    # compile + warm both variants first
+    once(1)
+    once(k_long)
+    # INTERLEAVE the t1/tk reps: the remote-TPU tunnel has multi-second
+    # stall windows, and measuring all t1 reps back-to-back lets one stall
+    # inflate t1 alone, which fakes a FASTER per-step ((tk - t1)/(k-1)).
+    # Round-4 lesson: this produced a phantom 1.49x for BF16_SCRATCH at
+    # stage0 (ab_bf16_scratch) that a re-measure could not reproduce.
+    t1s, tks = [], []
+    for _ in range(reps):
+        t1s.append(once(1))
+        tks.append(once(k_long))
+    return (min(tks) - min(t1s)) / (k_long - 1)

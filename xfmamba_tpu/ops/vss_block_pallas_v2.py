@@ -72,23 +72,27 @@ BF16_MAPS = False
 # sequences as bf16 halves that VMEM traffic.  The FMA chain still
 # accumulates in f32 registers (jnp promotion) — only the STORED maps are
 # rounded once, so the error does not compound along the chain the way a
-# bf16-state scan would.  On-chip one-process A/B (scripts/
-# ab_bf16_scratch.py, 2026-08-21): stage0 1.49x (15.14 -> 10.15 ms),
-# stage3 1.18x, stage1 1.01x, stage2 0.99x — the win tracks scan-chain
-# VMEM traffic (stage0's Lg is the longest; stage3 is lane-widest), so
-# the default is a per-geometry policy, not a global flip.  Stage-level
-# rel-err vs f32 scratch: 5.2e-3 (s0) / 4.0e-3 (s3), inside the 2e-2
-# e2e fused-vs-composable budget (re-verified on-chip after the flip).
-# Tri-state: None = per-geometry auto, True/False = force everywhere.
-BF16_SCRATCH = None
+# bf16-state scan would.  MEASURED DEAD END — default OFF.  The first
+# on-chip A/B (ab_bf16_scratch.py, 2026-08-21) showed a phantom 1.49x at
+# stage0 that the re-measure (probe_bf16_model.py, same day, real inited
+# params, one process) could not reproduce: stage0 iso 15.45 (f32) vs
+# 15.51 ms (bf16), model bs64 55.36 vs 55.42 ms.  Root cause of the
+# phantom: chain_timer measured all t1 reps back-to-back, and a tunnel
+# stall window inflated the bf16 arm's t1, faking a fast per-step
+# (chain_timer now interleaves t1/tk reps).  Physics: the serial-loop
+# cost is VPU *issue*-bound (see ROW_SEG/ROW_MACRO), not VMEM-traffic-
+# bound, so halving scratch bytes moves nothing.  Kept as a tested,
+# gated ablation (interpret test pins numerics).
+# Tri-state: None = per-geometry auto (currently all-off), True/False =
+# force everywhere.
+BF16_SCRATCH = False
 
 
 def _bf16_scratch_auto(L, d):
-    """Per-geometry default (measured, see BF16_SCRATCH): ON for the
-    long-chain stage-0 geometry (L=3136) and the lane-wide stage-3
-    geometry (d>=768 at tiny L); OFF for the mid stages where it was a
-    wash/regression on-chip."""
-    return L >= 2048 or d >= 768
+    """Per-geometry default hook (see BF16_SCRATCH): every geometry
+    re-measured OFF after the phantom-win artifact was pinned; kept so a
+    future real win can flip single geometries without re-plumbing."""
+    return False
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
