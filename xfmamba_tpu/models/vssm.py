@@ -35,7 +35,7 @@ class PatchEmbedV1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         x = Conv2dSame(self.embed_dim,
                        (self.patch_size, self.patch_size),
                        strides=(self.patch_size, self.patch_size),
@@ -46,19 +46,38 @@ class PatchEmbedV1(nn.Module):
 
 
 class PatchEmbedV2(nn.Module):
-    """Two stride-2 convs with GELU between (`vmamba.py:2204-2219`)."""
+    """Two stride-2 convs with GELU between (`vmamba.py:2204-2219`).
+
+    Inference on TPU/bf16 fuses the two LN(+GELU) passes into one Pallas
+    VMEM pass each (`ops/pe_fused.py`): the composable XLA lowering
+    multi-passes the (B, 112, 112, C/2) map in f32 and costs ~2.0 of the
+    embed's 2.4 ms at bs64.  Init/training keep the composable path."""
     embed_dim: int
     patch_size: int = 4
     patch_norm: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         stride = self.patch_size // 2
         k = stride + 1
         x = Conv2dSame(self.embed_dim // 2, (k, k), strides=(stride, stride),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv1")(x)
+        if self.patch_norm and not self.is_initializing() and deterministic:
+            from xfmamba_tpu.ops import pe_fused as _pe
+            if _pe.ln_act_supported(x, self.dtype):
+                p = self.variables["params"]
+                x = _pe.ln_act_fused(x, p["norm1"]["scale"],
+                                     p["norm1"]["bias"], act_gelu=True,
+                                     eps=LN_EPS)
+                x = Conv2dSame(self.embed_dim, (k, k),
+                               strides=(stride, stride),
+                               padding=((1, 1), (1, 1)), dtype=self.dtype,
+                               name="conv2")(x)
+                return _pe.ln_act_fused(x, p["norm2"]["scale"],
+                                        p["norm2"]["bias"], act_gelu=False,
+                                        eps=LN_EPS)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="norm1")(x)
@@ -344,7 +363,7 @@ class VSSM(nn.Module):
         PE = dict(v1=PatchEmbedV1, v2=PatchEmbedV2)[self.patchembed_version]
         x = PE(embed_dim=dims[0], patch_size=self.patch_size,
                patch_norm=self.patch_norm, dtype=self.dtype,
-               name="patch_embed")(x)
+               name="patch_embed")(x, deterministic=deterministic)
 
         if self.posembed:
             hp = wp = self.imgsize // self.patch_size
