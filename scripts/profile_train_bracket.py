@@ -47,14 +47,20 @@ def fwd_eval(p, a, b):
 t = chain_time(lambda a, b: fwd_eval(state.params, a, b), [x1, x2])
 print(f"fwd (eval mode): {t*1e3:.2f} ms", flush=True)
 
-# 2. value_and_grad only
+# 2. value_and_grad only.  NB: consume EVERY grad leaf in the timed
+# scalar — an earlier version returned only the loss and XLA DCE'd the
+# whole backward (measured 23.9 ms == fwd-only; bogus).
 def loss_fn(p, a, b):
     out = model.apply(variables(p), a, b, deterministic=False,
                       rngs=RNGS, mutable=MUT)
     logits = out[0] if MUT else out
     return cross_entropy_loss(logits, labels)
 vg = jax.value_and_grad(loss_fn)
-t = chain_time(lambda a, b: vg(state.params, a, b)[0], [x1, x2])
+def vg_all(a, b):
+    loss, g = vg(state.params, a, b)
+    return loss + jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(), g, 0.0)
+t = chain_time(vg_all, [x1, x2])
 print(f"value_and_grad: {t*1e3:.2f} ms", flush=True)
 
 # 3. optimizer update alone (grads = params-shaped ones)

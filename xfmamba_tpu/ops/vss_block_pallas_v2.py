@@ -81,18 +81,23 @@ BF16_MAPS = False
 # stall window inflated the bf16 arm's t1, faking a fast per-step
 # (chain_timer now interleaves t1/tk reps).  Physics: the serial-loop
 # cost is VPU *issue*-bound (see ROW_SEG/ROW_MACRO), not VMEM-traffic-
-# bound, so halving scratch bytes moves nothing.  Kept as a tested,
-# gated ablation (interpret test pins numerics).
-# Tri-state: None = per-geometry auto (currently all-off), True/False =
-# force everywhere.
-BF16_SCRATCH = False
+# bound, so halving scratch bytes moves nothing at stages 0-2.  The ONE
+# real win is the stage-3 geometry (Lg=392, di=1536): its short chains
+# over lane-WIDE rows are slice-load/store-bound, not issue-bound —
+# measured 2.47 -> 2.05-2.09 ms consistently across both timer versions
+# (ab_bf16_scratch + ab_stage0_bf16_group, 2026-08-21; stage-level
+# rel-err 4.0e-3, e2e 4.8e-3 vs the 2e-2 budget in ONCHIP_r04.json).
+# Tri-state: None = per-geometry auto (stage-3 only), True/False = force
+# everywhere.
+BF16_SCRATCH = None
 
 
 def _bf16_scratch_auto(L, d):
-    """Per-geometry default hook (see BF16_SCRATCH): every geometry
-    re-measured OFF after the phantom-win artifact was pinned; kept so a
-    future real win can flip single geometries without re-plumbing."""
-    return False
+    """Per-geometry default (see BF16_SCRATCH): ON only at the stage-3
+    geometry class (short chains, lane-wide rows) where the halved
+    slice traffic is a measured ~1.2x; OFF elsewhere (stage0's apparent
+    1.49x was a timing artifact; stages 1-2 are a wash)."""
+    return L <= 64 and d >= 768
 # wide-state (lane-folded N) nk scan kernel for the fusion ops.  Measured
 # EQUAL to the v2 serial pair-chains at the CrossSS2Dv5 geometry
 # (scripts/ab_nk.py: v2 3.09-3.44 ms vs v3 3.24-3.32 ms, B=96 L=49 N=16) —
