@@ -11,7 +11,19 @@ adjoint kernel) reads the map once and writes it once.
 
 Inference-only: the composable path keeps exact autodiff semantics for
 training and init (the standard fused-path gating pattern of this repo).
+
+MEASURED DEAD END — default OFF.  On-chip one-process A/B
+(scripts/ab_pe_fused.py, 2026-08-21): embed 2.23 ms composable vs
+5.82 ms fused; model bs64 57.2 ms (regression).  The (rows, C=48)
+layout runs every whole-map VPU op at 48/128 lane utilisation and the
+per-image ones-column moment dots (M=12544, K=48->128, N=1->128) cost
+more than the XLA passes they replace; 128 small grid steps add ramp on
+top.  A sublane-major (C on sublanes, pixels on lanes) variant would
+need two XLA transposes (~0.75 ms round trip) that eat the win.  Kept
+as a tested, gated ablation.
 """
+
+PE_FUSED = False
 
 from __future__ import annotations
 
@@ -70,7 +82,10 @@ def ln_act_fused(x, scale, bias, act_gelu=False, eps=1e-5, interpret=False,
 
 
 def ln_act_supported(x, dtype):
-    """Gate mirroring the other fused paths: TPU, bf16, aligned rows."""
+    """Gate mirroring the other fused paths: TPU, bf16, aligned rows —
+    AND the PE_FUSED kill switch (measured slower, see module docstring)."""
+    if not PE_FUSED:
+        return False
     if dtype != jnp.bfloat16 or x.dtype != jnp.bfloat16:
         return False
     if jax.default_backend() == "cpu":
