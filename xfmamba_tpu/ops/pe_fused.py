@@ -23,8 +23,6 @@ need two XLA transposes (~0.75 ms round trip) that eat the win.  Kept
 as a tested, gated ablation.
 """
 
-PE_FUSED = False
-
 from __future__ import annotations
 
 import functools
@@ -37,6 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from xfmamba_tpu.ops.vss_block_pallas import _gelu_exact
 
 f32 = jnp.float32
+
+# kill switch — measured slower than the composable lowering (docstring)
+PE_FUSED = False
 
 
 def _ln_act_kernel(C, eps, act_gelu, x_ref, sb_ref, y_ref):
