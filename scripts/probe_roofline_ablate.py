@@ -35,35 +35,9 @@ STAGES = [  # (H, W, d, depth, G)  — XFMamba-S production geometry
     (7, 7, 768, 2, 8),
 ]
 
-ks = iter(jax.random.split(jax.random.key(0), 200))
-
-
-def rnd(shape, dt, scale=0.02):
-    return (jax.random.normal(next(ks), shape, jnp.float32)
-            * scale).astype(dt)
-
-
-def stage_operands(H, W, d, depth):
-    di, R, hd = 2 * d, max(1, (d + 15) // 16), 4 * d
-    L = H * W
-    x = rnd((B, L, d), bf16, 1.0)
-    return [x,
-            jnp.stack([jnp.stack([jnp.ones((d,), f32),
-                                  jnp.zeros((d,), f32)])] * depth),
-            rnd((depth, d, di), bf16), rnd((depth, 9, di), f32),
-            jnp.zeros((depth, 1, di), f32),
-            rnd((depth, di, 4 * R + 8), bf16),
-            rnd((depth, 4 * R, di), bf16),
-            jnp.zeros((depth, 4, di), f32),
-            -jnp.ones((depth, 4, di), f32),
-            jnp.ones((depth, 1, di), f32),
-            jnp.stack([jnp.stack([jnp.ones((di,), f32),
-                                  jnp.zeros((di,), f32)])] * depth),
-            rnd((depth, di, d), bf16),
-            jnp.stack([jnp.stack([jnp.ones((d,), f32),
-                                  jnp.zeros((d,), f32)])] * depth),
-            rnd((depth, d, hd), bf16), jnp.zeros((depth, 1, hd), f32),
-            rnd((depth, hd, d), bf16), jnp.zeros((depth, 1, d), f32)]
+# real inited VSSBlock params packed with fold_ln=True (the production
+# inference layout) — hand-rolled operands don't match the folded packing
+from ab_bf16_scratch import stage_args as stage_operands  # noqa: E402
 
 
 def noscan_row(af, bf, ar, br, L, G, out_f, out_r):
@@ -86,7 +60,7 @@ def main():
     out = {}
     for (H, W, d, depth, G) in STAGES:
         name = f"{H}x{W}_d{d}_x{depth}_G{G}"
-        args = stage_operands(H, W, d, depth)
+        args = stage_operands(H, W, d, depth, jax.random.key(d))
 
         def t_stage(label):
             V._vss_stage_call_v2.clear_cache()

@@ -15,6 +15,7 @@ def _consume(g):
         lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(), g, 0.0)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 from chain_timer import chain_time
 from xfmamba_tpu.models.fusion import CrossSS2Dv5, ShallowFuseSS2Dv4
