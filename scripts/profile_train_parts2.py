@@ -44,7 +44,7 @@ def grad_time(mod, x, label, wrt_x=True):
         g = jax.grad(loss, argnums=(0, 1))
     else:
         g = jax.grad(loss)
-    t = chain_time(lambda a: _consume(g(v["params"], a)), [x])
+    t = chain_time(lambda a: _consume(g(v["params"], a)), [x], k_long=16)
     print(f"{label}: {t*1e3:6.2f} ms", flush=True)
     return t
 
@@ -81,7 +81,8 @@ def main():
         for fused in (True, False):
             V.FUSED_TRAIN = fused
             t = chain_time(
-                lambda a, gb=gb, v=v: _consume(gb(v["params"], a)), [xin])
+                lambda a, gb=gb, v=v: _consume(gb(v["params"], a)), [xin],
+                k_long=16)
             print(f"{label} block grad (2B) fused={fused}: {t*1e3:6.2f} ms",
                   flush=True)
         V.FUSED_TRAIN = True
