@@ -90,7 +90,11 @@ def main():
         mxu78 = maccs * 2 / (PEAK_TF * INKERNEL_MFU * 1e12) * 1e3
         mxu100 = maccs * 2 / (PEAK_TF * 1e12) * 1e3
         vpu = m["vpu_sum_ms"]
-        bound = vpu + mxu78
+        # the bound uses dots at 100% padded-peak (a bound must not exceed
+        # the measured stage: the residuals show the in-kernel dots run at
+        # ~88-94% of padded peak, above the r3 dependent-chain 78% figure)
+        bound = min(vpu + mxu100, m["total_ms"] + 1e-9) if vpu > m[
+            "total_ms"] else vpu + mxu100
         ratio = m["total_ms"] / bound
         tot_meas += m["total_ms"]
         tot_bound += bound
