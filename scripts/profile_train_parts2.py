@@ -96,10 +96,16 @@ def main():
     x2 = jnp.ones((B, 224, 224, 1), bf16)
     labels = jnp.zeros((B,), jnp.int32)
     vv = model.init(jax.random.key(0), x1, x2)
+    bstats = vv.get("batch_stats", {})
 
     def loss_fn(p, a, b):
-        logits = model.apply({"params": p}, a, b, deterministic=False,
-                             rngs=RNGS)
+        variables = {"params": p}
+        if bstats:
+            variables["batch_stats"] = bstats
+        out = model.apply(variables, a, b, deterministic=False,
+                          rngs=RNGS,
+                          mutable=["batch_stats"] if bstats else False)
+        logits = out[0] if bstats else out
         return cross_entropy_loss(logits, labels)
 
     vg = jax.value_and_grad(loss_fn)
