@@ -55,6 +55,32 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
     )
 
 
+def make_parallel_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
+    """Wrap a ``(state, batch) -> {"loss": scalar, "logits": (B, ...)}`` eval
+    step for the mesh with ``shard_map``: state replicated, batch split on
+    its leading axis.
+
+    Like :func:`make_parallel_infer`, shard_map (not GSPMD jit) is mandatory
+    here: the fused Pallas inference kernels are not auto-partitioned under
+    a GSPMD mesh, so this wrapper is what fences the sharded-eval footgun
+    for the training driver's validation passes.  Per-shard losses are
+    ``pmean``-combined (equal shard sizes by construction — the driver
+    enforces batch-size divisibility), logits stay batch-sharded."""
+    def per_shard(state, batch):
+        out = eval_step(state, batch)
+        # mean of per-shard means == global mean at equal shard sizes
+        loss = jax.lax.pmean(out["loss"], axis)
+        return {"loss": loss, "logits": out["logits"]}
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs={"loss": P(), "logits": P(axis)},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_parallel_infer(infer_fn, mesh: Mesh, axis: str = "data"):
     """Wrap an inference fn ``(params_pytree, batch_pytree) -> outputs``
     (every output leaf batch-leading) for the mesh with ``shard_map``:

@@ -147,6 +147,24 @@ def fit(model, cfg: TrainConfig, train_loader, val_loader,
     optimizer = make_optimizer(cfg)
     rng = jax.random.key(cfg.seed)
 
+    # Data-parallel mesh (SURVEY.md §2.10 — the reference is single-GPU;
+    # this is the TPU build's first-class DP layer).  `cfg.data_parallel`
+    # shards every batch over all local devices; a non-divisible batch size
+    # is a hard error rather than a silent single-device fallback.
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.data_parallel and n_dev > 1:
+        from xfmamba_tpu.parallel.mesh import make_mesh
+        for name, bs in (("batch_size", cfg.batch_size),
+                         ("eval_batch_size", cfg.eval_batch_size)):
+            if bs % n_dev:
+                raise ValueError(
+                    f"data_parallel: {name}={bs} is not divisible by the "
+                    f"{n_dev} local devices; adjust the batch size or pass "
+                    f"data_parallel=False")
+        mesh = make_mesh()
+        log_fn(f"data-parallel: batches sharded over {n_dev} devices")
+
     if init_state is None:
         if example_batch is None:
             example_batch = next(iter(train_loader))
@@ -159,8 +177,23 @@ def fit(model, cfg: TrainConfig, train_loader, val_loader,
                                       jax.random.key(cfg.seed), inputs)
     state = init_state
 
-    train_step, eval_step = make_train_step(model, optimizer, multilabel,
-                                            preprocess=preprocess)
+    data_sharding = None
+    if mesh is not None:
+        from xfmamba_tpu.parallel.mesh import (
+            batch_sharding, make_parallel_eval_step,
+            make_parallel_train_step, replicated)
+        raw_train, raw_eval = make_train_step(
+            model, optimizer, multilabel, preprocess=preprocess,
+            jit_compile=False)
+        train_step = make_parallel_train_step(raw_train, mesh)
+        # eval MUST go through shard_map: the fused Pallas inference
+        # kernels are not auto-partitioned under a GSPMD mesh
+        eval_step = make_parallel_eval_step(raw_eval, mesh)
+        state = jax.device_put(state, replicated(mesh))
+        data_sharding = batch_sharding(mesh)
+    else:
+        train_step, eval_step = make_train_step(
+            model, optimizer, multilabel, preprocess=preprocess)
     sched = lr_schedule(cfg)
     out_dir = out_dir or cfg.savemodel_path
     os.makedirs(out_dir, exist_ok=True)
@@ -182,9 +215,11 @@ def fit(model, cfg: TrainConfig, train_loader, val_loader,
         lr = sched(epoch) if cfg.scheduler != "reduce" else plateau_lr
         state, tr_stats = run_train_epoch(
             train_step, state, train_loader, rng, lr, multilabel,
-            log_every=cfg.log_every, log_fn=log_fn)
+            log_every=cfg.log_every, log_fn=log_fn,
+            sharding=data_sharding)
         va_stats, logits, labels = run_eval_epoch(
-            eval_step, state, val_loader, multilabel)
+            eval_step, state, val_loader, multilabel,
+            sharding=data_sharding)
         log_fn(f"epoch {epoch}: lr={lr:.2e} "
                f"train_loss={tr_stats['loss']:.4f} "
                f"val_loss={va_stats['loss']:.4f} "
