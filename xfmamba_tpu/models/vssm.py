@@ -48,10 +48,10 @@ class PatchEmbedV1(nn.Module):
 class PatchEmbedV2(nn.Module):
     """Two stride-2 convs with GELU between (`vmamba.py:2204-2219`).
 
-    Inference on TPU/bf16 fuses the two LN(+GELU) passes into one Pallas
-    VMEM pass each (`ops/pe_fused.py`): the composable XLA lowering
-    multi-passes the (B, 112, 112, C/2) map in f32 and costs ~2.0 of the
-    embed's 2.4 ms at bs64.  Init/training keep the composable path."""
+    The XLA lowering multi-passes the LN(+GELU) between the convs (~2.0 of
+    the embed's 2.4 ms at bs64); a Pallas fusion of those passes was built
+    and MEASURED SLOWER (2.6x at C=48 lane occupancy) — it lives as a gated
+    ablation in `ops/ablations/pe_fused.py` with the numbers."""
     embed_dim: int
     patch_size: int = 4
     patch_norm: bool = True
@@ -64,20 +64,6 @@ class PatchEmbedV2(nn.Module):
         x = Conv2dSame(self.embed_dim // 2, (k, k), strides=(stride, stride),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv1")(x)
-        if self.patch_norm and not self.is_initializing() and deterministic:
-            from xfmamba_tpu.ops import pe_fused as _pe
-            if _pe.ln_act_supported(x, self.dtype):
-                p = self.variables["params"]
-                x = _pe.ln_act_fused(x, p["norm1"]["scale"],
-                                     p["norm1"]["bias"], act_gelu=True,
-                                     eps=LN_EPS)
-                x = Conv2dSame(self.embed_dim, (k, k),
-                               strides=(stride, stride),
-                               padding=((1, 1), (1, 1)), dtype=self.dtype,
-                               name="conv2")(x)
-                return _pe.ln_act_fused(x, p["norm2"]["scale"],
-                                        p["norm2"]["bias"], act_gelu=False,
-                                        eps=LN_EPS)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="norm1")(x)
@@ -200,22 +186,11 @@ class VSSBlock(nn.Module):
             return None
         B, H, W, d = x.shape
         di = int(self.ssm_ratio * d)
-        g2 = _v2.pick_group_v2(B, H, W, d, di, 8, fuse_mlp=False)
+        # largest group whose forward AND adjoint both fit VMEM — the
+        # shared helper is also compile-smoked per geometry on-chip
+        from xfmamba_tpu.ops.vss_block_v2_adjoint import pick_train_group
+        g2 = pick_train_group(B, H, W, d, di)
         if g2 is None:
-            return None
-        from xfmamba_tpu.ops.vss_block_v2_adjoint import (
-            fused_train_supported)
-        # the adjoint kernel's VMEM budget binds tighter than the
-        # forward's: step G down to the largest aligned group whose
-        # BACKWARD also fits.  (r4 bug: at bs16 stage-1 picked G=4, only
-        # G=2 fits the adjoint, and the whole block silently fell back to
-        # composable autodiff — 5.2 vs ~1.5 ms/block.)
-        L = H * W
-        while g2 >= 1 and not (B % g2 == 0 and (L * g2) % 8 == 0
-                               and (W * g2) % 8 == 0
-                               and fused_train_supported(L, d, di, g2)):
-            g2 //= 2
-        if g2 < 1:
             return None
         p = self.variables["params"]
         if "bias" in p["op"]["in_proj"] or "out_norm" not in p["op"] \

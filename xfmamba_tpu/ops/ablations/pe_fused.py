@@ -20,7 +20,10 @@ per-image ones-column moment dots (M=12544, K=48->128, N=1->128) cost
 more than the XLA passes they replace; 128 small grid steps add ramp on
 top.  A sublane-major (C on sublanes, pixels on lanes) variant would
 need two XLA transposes (~0.75 ms round trip) that eat the win.  Kept
-as a tested, gated ablation.
+as a tested, gated ablation — quarantined here (`ops/ablations/`); the
+live `models/vssm.py` PatchEmbedV2 no longer dispatches to it.  To
+reproduce the measurement: scripts/ab_pe_fused.py (builds the fused
+embed from this module directly).
 """
 
 from __future__ import annotations
@@ -89,7 +92,7 @@ def ln_act_supported(x, dtype):
         return False
     if dtype != jnp.bfloat16 or x.dtype != jnp.bfloat16:
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":  # the kernel is Mosaic-TPU only
         return False
     B, H, W, C = x.shape
     return (H * W) % 8 == 0 and C % 8 == 0
