@@ -141,6 +141,41 @@ def test_fused_train_grads_match_on_device():
                        max(jax.tree_util.tree_leaves(errs))) < 5e-2
 
 
+@pytest.mark.parametrize("H,W,d", [
+    (56, 56, 96),     # stage 0 — the geometry with the tightest headroom
+    (28, 28, 192),
+    (14, 14, 384),
+    (7, 7, 768),
+])
+def test_adjoint_kernel_compiles_at_production_geometry(H, W, d):
+    """ADVICE r4: the auto-sized adjoint VMEM limit had zero measured
+    headroom at stage-0 — a geometry/compiler shift could turn a working
+    compile into a Mosaic failure.  AOT-compile the backward kernel at
+    every production train geometry (bs16 two-view -> backbone B=32) with
+    the exact group the train path picks, so any regression in the sizing
+    trips here instead of inside a user's train step."""
+    from xfmamba_tpu.ops.vss_block_pallas import pack_vss_block_params
+    from xfmamba_tpu.ops.vss_block_v2_adjoint import (
+        pick_train_group, vss_block_bwd_call)
+
+    B = 32
+    di = 2 * d
+    g = pick_train_group(B, H, W, d, di)
+    assert g is not None, "train path would fall back to composable"
+
+    blk, variables, x = _stage_block(d, H, W, B=B)
+    p = variables["params"]
+    packed = pack_vss_block_params(p, jnp.bfloat16, fuse_mlp=False)
+    L = H * W
+    xs = x.reshape(B, L, d)
+    m = jnp.ones((B, L, 1), jnp.float32)
+    cot = jnp.ones((B, L, d), jnp.bfloat16)
+    compiled = vss_block_bwd_call.lower(
+        xs, *packed, m, m, cot, H=H, W=W, conv_bias=False,
+        fuse_mlp=False, group=g).compile()
+    assert compiled is not None
+
+
 def test_ssd_pallas_matches_xla_on_device():
     """Compiled SSD kernel vs the XLA einsum path at an m2-like geometry."""
     from xfmamba_tpu.ops.ssd import ssd_chunk_scan

@@ -420,9 +420,16 @@ def vss_block_bwd_call(x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A,
     mm_dtype = w_in.dtype
     if vmem_mb is None:
         # footprint estimate + margin, floored at the tested 100 MB
-        # (stage-0's 111 MB estimate needs 118: 100 fails to compile)
+        # (stage-0's 111 MB estimate needs 118: 100 fails to compile).
+        # The margin grows ~8% with the estimate: est+7 had zero measured
+        # headroom at stage-0 (real footprint in (100, 118]) and a small
+        # compiler shift would turn that into a Mosaic failure; the
+        # tight-vs-loose perf cliff is 127-vs-tight, so a couple extra MB
+        # keep the r4 probe win.  test_tpu_onchip.py compile-smokes every
+        # production geometry against this sizing.
         est_mb = bwd_vmem_estimate(L, d, di, G) // (1024 * 1024)
-        vmem_mb = min(127, max(100, est_mb + 7))
+        margin = max(7, (est_mb * 2 + 12) // 25)
+        vmem_mb = min(127, max(100, est_mb + margin))
     xi = _interleave(x, G)
     gi = _interleave(g.astype(x.dtype), G)
     m1i = _interleave(m1.astype(jnp.float32), G)
@@ -525,3 +532,24 @@ def bwd_vmem_estimate(L, d, di, G):
 
 def fused_train_supported(L, d, di, G, budget_bytes=_BWD_VMEM_BUDGET):
     return bwd_vmem_estimate(L, d, di, G) < budget_bytes
+
+
+def pick_train_group(B, H, W, d, di):
+    """Largest aligned interleave group whose FORWARD (v2 megakernel) and
+    BACKWARD (adjoint kernel) both fit their VMEM budgets; None if none.
+
+    The adjoint budget binds tighter than the forward's — r4 bug: at bs16
+    stage-1 the forward picked G=4, only G=2 fits the adjoint, and the
+    whole block silently fell back to composable autodiff (5.2 vs ~1.5
+    ms/block).  Single source of truth for the train path (`models/vssm.py
+    _fused_train_path`) and the on-chip compile smoke test."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import pick_group_v2
+    g2 = pick_group_v2(B, H, W, d, di, 8, fuse_mlp=False)
+    if g2 is None:
+        return None
+    L = H * W
+    while g2 >= 1 and not (B % g2 == 0 and (L * g2) % 8 == 0
+                           and (W * g2) % 8 == 0
+                           and fused_train_supported(L, d, di, g2)):
+        g2 //= 2
+    return g2 if g2 >= 1 else None
