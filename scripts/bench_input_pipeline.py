@@ -13,6 +13,16 @@ Stages reported:
                   compute; one scalar sync at the end
 
 Usage: python scripts/bench_input_pipeline.py [n_batches] [batch_size]
+       python scripts/bench_input_pipeline.py --scaling [n_batches] [bs]
+
+``--scaling`` (VERDICT r4 #6): measures the PROCESS-pool staging path —
+threads vs processes at N workers on the PNG (MURA-like) path, plus the
+DICOM-decode (DDSM-like, .npy fallback + NYU crop) staged-u8 path, and
+prints the cores-needed extrapolation table.  This host has ONE core, so
+N-worker runs are oversubscribed: the per-worker efficiency at N>1
+(total throughput staying ~flat while N processes share the core) is the
+evidence that N processes on N cores scale ~linearly — each worker is
+independent, shares nothing, and holds no lock the others wait on.
 """
 import os
 import sys
@@ -24,6 +34,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 LOADER_ONLY = "--loader-only" in sys.argv
+SCALING = "--scaling" in sys.argv
 argv = [a for a in sys.argv if not a.startswith("--")]
 N_BATCHES = int(argv[1]) if len(argv) > 1 else 20
 BS = int(argv[2]) if len(argv) > 2 else 64
@@ -45,6 +56,98 @@ def make_dataset(root, n_pairs):
             paths.append(p)
         samples.append((paths[0], paths[1], i % 2))
     return samples
+
+
+def make_ddsm_dataset(root, n_pairs):
+    """DDSM-like subjects: large (1500x1000) uint16 scans saved as .npy
+    (the `read_pixels` DICOM fallback — pydicom is absent in this image,
+    so decode cost here is the npy mmap+cast, labeled as such below) with
+    a breast-like bright region so the NYU crop has work to do."""
+    rng = np.random.default_rng(1)
+    subjects = []
+    for i in range(n_pairs):
+        views = {}
+        for v in ("cc", "mlo"):
+            h, w = 1500, 1000
+            img = rng.integers(0, 400, (h, w)).astype(np.uint16)
+            img[200:1200, 100:700] += rng.integers(
+                2000, 4000, (1000, 600)).astype(np.uint16)
+            p = os.path.join(root, f"s{i:04d}_{v}.dcm")
+            np.save(p[:-4] + ".npy", img)
+            views[v] = dict(image_file=p, mask_files=[])
+        subjects.append(dict(views=views, side="left",
+                             abnormality_type="mass",
+                             assessment_label="MALIGNANT"))
+    return subjects
+
+
+def run_scaling():
+    """Thread-vs-process staging throughput at N workers + the DDSM
+    DICOM path; prints the cores-needed extrapolation table."""
+    from xfmamba_tpu.data.device_pipeline import StagingTransform
+    from xfmamba_tpu.data.loader import TwoViewLoader, TwoViewSamples
+    from xfmamba_tpu.data.mura import _load_pair
+
+    n_pairs = N_BATCHES * BS
+    root = tempfile.mkdtemp(prefix="xfm_scale_")
+    samples = make_dataset(root, n_pairs)
+    ds = TwoViewSamples(samples, _load_pair, StagingTransform((224, 224)))
+    ncpu = os.cpu_count() or 1
+    print(f"host cores: {ncpu}  (N>{ncpu} rows are OVERSUBSCRIBED — "
+          f"flat totals there mean per-worker efficiency ~1/N, i.e. "
+          f"linear scaling when real cores exist)", flush=True)
+
+    results = {}
+    for mode, procs in (("threads", False), ("processes", True)):
+        for nw in (1, 2, 4):
+            loader = TwoViewLoader(ds, BS, shuffle=False, drop_last=True,
+                                   num_workers=nw, prefetch=6,
+                                   use_processes=procs)
+            t0 = time.time()
+            n = sum(b["n_valid"] for b in loader)
+            dt = time.time() - t0
+            results[(mode, nw)] = n / dt
+            print(f"png u8 staging [{mode:9s} x{nw}]: {n / dt:7.1f} "
+                  f"pairs/s total", flush=True)
+
+    # ---- DDSM DICOM-decode path (npy fallback) + NYU crop + staging
+    from xfmamba_tpu.data.ddsm import make_load_fn
+    droot = tempfile.mkdtemp(prefix="xfm_ddsm_")
+    n_dd = max(2 * BS, 64)
+    subjects = make_ddsm_dataset(droot, n_dd)
+    dload = make_load_fn(subjects, crop=True)
+    dds = TwoViewSamples(list(range(n_dd)), dload,
+                         StagingTransform((224, 224)))
+    for procs in (False, True):
+        loader = TwoViewLoader(dds, min(BS, 32), shuffle=False,
+                               drop_last=True, num_workers=1, prefetch=4,
+                               use_processes=procs)
+        t0 = time.time()
+        n = sum(b["n_valid"] for b in loader)
+        dt = time.time() - t0
+        mode = "processes" if procs else "threads"
+        results[("ddsm", mode)] = n / dt
+        print(f"ddsm staged-u8 (npy decode + NYU crop) [{mode} x1]: "
+              f"{n / dt:7.1f} pairs/s/core", flush=True)
+
+    # ---- extrapolation table
+    png_rate = results[("processes", 1)]
+    ddsm_rate = results[("ddsm", "processes")]
+    target = 1200.0
+    print("\nextrapolation (process workers share nothing; "
+          "pairs/s/core x cores):")
+    print(f"{'cores':>6} {'png pairs/s':>12} {'ddsm pairs/s':>13}")
+    for c in (1, 2, 3, 4, 8):
+        mark = " <- feeds 1,200" if png_rate * c >= target and \
+            png_rate * (c - 1) < target else ""
+        print(f"{c:>6} {png_rate * c:>12.1f} {ddsm_rate * c:>13.1f}{mark}")
+    print(f"cores to feed {target:.0f} pairs/s: "
+          f"png {target / png_rate:.1f}, ddsm {target / ddsm_rate:.1f}",
+          flush=True)
+
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(droot, ignore_errors=True)
 
 
 def main():
@@ -140,4 +243,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if SCALING:
+        run_scaling()
+    else:
+        main()

@@ -179,3 +179,38 @@ def test_loader_padding_and_shuffle_determinism(tmp_path):
     # padded final batch
     sizes = [b["n_valid"] for b in TwoViewLoader(ds, 2, num_workers=1)]
     assert sizes == [2, 2, 1]
+
+
+def test_process_pool_loader_matches_threads(tmp_path):
+    """`use_processes=True` (GIL-free worker processes — the mode that
+    scales u8 staging across host cores) must produce bit-identical
+    batches to the thread pool: same per-sample rng keying, same order."""
+    from xfmamba_tpu.data.device_pipeline import StagingTransform
+    from xfmamba_tpu.data.mura import _load_pair
+
+    imgs = []
+    for i in range(6):
+        p = str(tmp_path / f"im{i}.png")
+        _png(p, size=(40, 30), seed=i)
+        imgs.append((p, p, np.int32(i % 2)))
+
+    ds = TwoViewSamples(imgs, _load_pair, StagingTransform((16, 16)))
+    kw = dict(batch_size=2, shuffle=True, seed=7, num_workers=2)
+    thread_batches = list(TwoViewLoader(ds, **kw))
+    proc_batches = list(TwoViewLoader(ds, use_processes=True, **kw))
+    assert len(thread_batches) == len(proc_batches) == 3
+    for bt, bp in zip(thread_batches, proc_batches):
+        assert bt["n_valid"] == bp["n_valid"]
+        np.testing.assert_array_equal(bt["image1"], bp["image1"])
+        np.testing.assert_array_equal(bt["image2"], bp["image2"])
+        np.testing.assert_array_equal(bt["label"], bp["label"])
+
+
+def test_ddsm_load_fn_is_picklable():
+    """Spawn-mode process pools pickle the dataset (load fn included) to
+    each worker; the DDSM load fn is a class, not a closure, for this."""
+    import pickle
+    from xfmamba_tpu.data.ddsm import make_load_fn
+    fn = make_load_fn([{"views": {}, "side": "left"}], crop=True)
+    fn2 = pickle.loads(pickle.dumps(fn))
+    assert fn2.crop and fn2.subjects == fn.subjects

@@ -76,6 +76,9 @@ def parse_args(argv=None):
     p.add_argument("--device_preprocess", type=int, default=0,
                    help="stage u8 on host; run resize/crop/flip/rotate/"
                         "normalize on-device inside the jitted step")
+    p.add_argument("--loader_processes", type=int, default=0,
+                   help="decode/transform in worker PROCESSES instead of "
+                        "threads (GIL-free scaling across host cores)")
     return p.parse_args(argv)
 
 
@@ -125,6 +128,7 @@ def main(argv=None):
     cfg_dict = dataclasses.asdict(cfg)
     cfg_dict["root_dir"] = cfg.data_root  # mura loader's key
     cfg_dict["device_preprocess"] = bool(args.device_preprocess)
+    cfg_dict["loader_processes"] = bool(args.loader_processes)
 
     if cfg.wandb:
         try:
@@ -147,6 +151,10 @@ def main(argv=None):
             from xfmamba_tpu.data.device_pipeline import (
                 chexpert_device_preprocess)
             preprocess = chexpert_device_preprocess(cfg.image_size)
+        elif args.dataset == "ddsmxray":
+            from xfmamba_tpu.data.device_pipeline import (
+                ddsm_device_preprocess)
+            preprocess = ddsm_device_preprocess(cfg.image_size)
         else:
             from xfmamba_tpu.data.device_pipeline import (
                 mura_device_preprocess)

@@ -125,19 +125,21 @@ def create_train_val_test_data_loaders(train_root_dirs, train_csv_file,
         tt = chexpert_train_transform(tuple(config["image_size"]))
         et = chexpert_eval_transform(tuple(config["image_size"]))
     nw = config.get("num_workers", 4)
+    procs = bool(config.get("loader_processes"))
 
     def mk(idxs, tf):
         return TwoViewSamples([samples[i] for i in idxs], _load_pair, tf)
 
     train_loader = TwoViewLoader(mk(tr_i, tt), config["batch_size"],
                                  shuffle=True, drop_last=True,
-                                 num_workers=nw, seed=config["seed"])
+                                 num_workers=nw, seed=config["seed"],
+                                 use_processes=procs)
     val_loader = TwoViewLoader(mk(va_i, et), config["batch_size"],
                                shuffle=False, num_workers=nw,
-                               seed=config["seed"])
+                               seed=config["seed"], use_processes=procs)
     test_loader = TwoViewLoader(mk(te_i, et),
                                 config.get("eval_batch_size",
                                            config["batch_size"]),
                                 shuffle=False, num_workers=nw,
-                                seed=config["seed"])
+                                seed=config["seed"], use_processes=procs)
     return train_loader, val_loader, test_loader

@@ -209,18 +209,30 @@ def _scale_to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(img / hi * 255.0, 0, 255).astype(np.uint8)
 
 
-def make_load_fn(subjects, crop=False, rescale_factor=None,
+class DDSMLoadFn:
+    """Picklable DICOM->u8 two-view load fn (a class, not a closure, so
+    the process-pool loader can ship it to spawn-mode workers)."""
+
+    def __init__(self, subjects, crop=False, rescale_factor=None,
                  overlay_mask=False):
-    def load(sample):
-        idx = sample
-        subj = subjects[idx]
-        cc, _ = load_view(subj["views"]["cc"], subj["side"], crop,
-                          rescale_factor, overlay_mask)
-        mlo, _ = load_view(subj["views"]["mlo"], subj["side"], crop,
-                           rescale_factor, overlay_mask)
+        self.subjects = subjects
+        self.crop = crop
+        self.rescale_factor = rescale_factor
+        self.overlay_mask = overlay_mask
+
+    def __call__(self, sample):
+        subj = self.subjects[sample]
+        cc, _ = load_view(subj["views"]["cc"], subj["side"], self.crop,
+                          self.rescale_factor, self.overlay_mask)
+        mlo, _ = load_view(subj["views"]["mlo"], subj["side"], self.crop,
+                           self.rescale_factor, self.overlay_mask)
         return (_scale_to_uint8(cc), _scale_to_uint8(mlo),
                 np.int32(subject_label(subj)))
-    return load
+
+
+def make_load_fn(subjects, crop=False, rescale_factor=None,
+                 overlay_mask=False):
+    return DDSMLoadFn(subjects, crop, rescale_factor, overlay_mask)
 
 
 def create_data_loaders(main_csv_files, metadata_csv, base_dir, config,
@@ -228,20 +240,30 @@ def create_data_loaders(main_csv_files, metadata_csv, base_dir, config,
     """Equivalent of ``create_ddsmxray_data_loader`` (`:674-760`)."""
     subjects = load_subjects(main_csv_files, metadata_csv, base_dir)
     tr_i, va_i = reference_split(subjects)
-    # DDSM transforms: no crop, no normalize (`:676-692`)
-    tt = TwoViewTransform(tuple(config["image_size"]), crop=None,
-                          normalize_mean=None, normalize_std=None,
-                          train=True)
-    et = TwoViewTransform(tuple(config["image_size"]), train=False,
-                          normalize_mean=None, normalize_std=None)
+    if config.get("device_preprocess"):
+        # DICOM decode + NYU crop stay host-side; the host then stages
+        # u8 at the image size and the float pipeline runs on-device
+        # (`data.device_pipeline.ddsm_device_preprocess`)
+        from xfmamba_tpu.data.device_pipeline import StagingTransform
+        tt = StagingTransform(tuple(config["image_size"]))
+        et = StagingTransform(tuple(config["image_size"]))
+    else:
+        # DDSM transforms: no crop, no normalize (`:676-692`)
+        tt = TwoViewTransform(tuple(config["image_size"]), crop=None,
+                              normalize_mean=None, normalize_std=None,
+                              train=True)
+        et = TwoViewTransform(tuple(config["image_size"]), train=False,
+                              normalize_mean=None, normalize_std=None)
     load = make_load_fn(subjects, crop=crop_size is not None,
                         rescale_factor=rescale_factor)
     nw = config.get("num_workers", 4)
+    procs = bool(config.get("loader_processes"))
     train_loader = TwoViewLoader(TwoViewSamples(tr_i, load, tt),
                                  config["batch_size"], shuffle=True,
                                  drop_last=True, num_workers=nw,
-                                 seed=config["seed"])
+                                 seed=config["seed"], use_processes=procs)
     val_loader = TwoViewLoader(TwoViewSamples(va_i, load, et),
                                config["batch_size"], shuffle=False,
-                               num_workers=nw, seed=config["seed"])
+                               num_workers=nw, seed=config["seed"],
+                               use_processes=procs)
     return train_loader, val_loader

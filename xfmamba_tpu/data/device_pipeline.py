@@ -156,6 +156,21 @@ def mura_device_preprocess(image_size=(224, 224), train=True):
                             hflip=False, rotation=0.0)
 
 
+def ddsm_device_preprocess(image_size=(224, 224), train=True):
+    """CBIS-DDSM: no crop, no Normalize; hflip + rotation(30) when
+    training (`dataset_ddsmxray_twoview.py:676-692` semantics).  The
+    DICOM decode + NYU connected-component crop stay host-side (the
+    `DDSMLoadFn` output is already a cropped u8 map); this stage covers
+    the float half."""
+    if train:
+        return DevicePreprocess(image_size=tuple(image_size), crop=None,
+                                hflip=True, rotation=30.0,
+                                normalize_mean=None, normalize_std=None)
+    return DevicePreprocess(image_size=tuple(image_size), crop=None,
+                            hflip=False, rotation=0.0,
+                            normalize_mean=None, normalize_std=None)
+
+
 def chexpert_device_preprocess(image_size=(224, 224), train=True):
     """CheXpert: no Normalize (`dataset_chexpert_twoview.py:295`)."""
     if train:

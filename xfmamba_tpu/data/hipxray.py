@@ -65,14 +65,16 @@ def create_data_loaders(images_dir, csv_file, config):
     tt = mura_train_transform(tuple(config["image_size"]))
     et = mura_eval_transform(tuple(config["image_size"]))
     nw = config.get("num_workers", 4)
+    procs = bool(config.get("loader_processes"))
 
     def mk(ids, tf):
         return TwoViewSamples([samples[i] for i in ids], _load_pair, tf)
 
     train_loader = TwoViewLoader(mk(idx[:n_train], tt), config["batch_size"],
                                  shuffle=True, drop_last=True,
-                                 num_workers=nw, seed=config["seed"])
+                                 num_workers=nw, seed=config["seed"],
+                                 use_processes=procs)
     val_loader = TwoViewLoader(mk(idx[n_train:], et), config["batch_size"],
                                shuffle=False, num_workers=nw,
-                               seed=config["seed"])
+                               seed=config["seed"], use_processes=procs)
     return train_loader, val_loader, mapping

@@ -160,15 +160,17 @@ def create_data_loaders(train_image_paths_csv, train_study_labels_csv,
         et = mura_eval_transform(tuple(config["image_size"]))
     mk = lambda d, tf: TwoViewSamples(to_samples(d), _load_pair, tf)
     nw = config.get("num_workers", 4)
+    procs = bool(config.get("loader_processes"))
     train_loader = TwoViewLoader(mk(train_df, tt), config["batch_size"],
                                  shuffle=True, drop_last=True,
-                                 num_workers=nw, seed=config["seed"])
+                                 num_workers=nw, seed=config["seed"],
+                                 use_processes=procs)
     val_loader = TwoViewLoader(mk(val_df, et), config["batch_size"],
                                shuffle=False, num_workers=nw,
-                               seed=config["seed"])
+                               seed=config["seed"], use_processes=procs)
     test_loader = TwoViewLoader(mk(test_df, et),
                                 config.get("eval_batch_size",
                                            config["batch_size"]),
                                 shuffle=False, num_workers=nw,
-                                seed=config["seed"])
+                                seed=config["seed"], use_processes=procs)
     return train_loader, val_loader, test_loader
