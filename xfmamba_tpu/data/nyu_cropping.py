@@ -30,6 +30,33 @@ def largest_connected_component(mask: np.ndarray) -> np.ndarray:
     return labeled == (1 + int(np.argmax(sizes)))
 
 
+def fast_binary_erosion(mask: np.ndarray, iterations: int) -> np.ndarray:
+    """Exactly ``ndi.binary_erosion(mask, iterations=N)`` for the default
+    cross-shaped structuring element, in ONE pass: a pixel survives N
+    erosions iff its taxicab distance to the nearest background pixel
+    exceeds N.  ~N× less work than scipy's iterated passes — the erosion
+    dominates the DDSM NYU-crop host cost (100 iterations over multi-MP
+    scans, `dataset_ddsmxray_twoview.py:327-341`'s `_crop2`)."""
+    mask = np.asarray(mask, bool)
+    if iterations <= 0:
+        return mask.copy()
+    # border_value=0 in scipy: treat outside-the-frame as background, so
+    # pad with a zero ring before the distance transform
+    padded = np.pad(mask, 1)
+    dist = ndi.distance_transform_cdt(padded, metric="taxicab")
+    return dist[1:-1, 1:-1] > iterations
+
+
+def fast_binary_dilation(mask: np.ndarray, iterations: int) -> np.ndarray:
+    """Exactly ``ndi.binary_dilation(mask, iterations=N)`` (cross-shaped
+    element) via one taxicab distance transform of the complement."""
+    mask = np.asarray(mask, bool)
+    if iterations <= 0:
+        return mask.copy()
+    dist = ndi.distance_transform_cdt(~mask, metric="taxicab")
+    return dist <= iterations
+
+
 def crop_img_from_largest_connected(
         img: np.ndarray, mode: str, erode_dialate: bool = True,
         iterations: int = 100, buffer_size: int = 50,
@@ -41,10 +68,10 @@ def crop_img_from_largest_connected(
     H, W = img.shape
     mask = img > 0
     if erode_dialate:
-        mask = ndi.binary_erosion(mask, iterations=iterations)
+        mask = fast_binary_erosion(mask, iterations)
     largest = largest_connected_component(mask)
     if erode_dialate:
-        largest = ndi.binary_dilation(largest, iterations=iterations)
+        largest = fast_binary_dilation(largest, iterations)
 
     rows = np.flatnonzero(largest.any(axis=1))
     cols = np.flatnonzero(largest.any(axis=0))
@@ -107,7 +134,45 @@ def optimal_window_center(mask: np.ndarray,
 
 
 def find_crop_center(img: np.ndarray, crop_size=(1024, 1024),
-                     side: str = "left", view: str = "cc"):
-    """Pick a crop center over the breast mask (`nyu_cropping.py:219`)."""
-    mask = img > 0
-    return optimal_window_center(mask, crop_size)
+                     side: str = "left", view: str = "cc",
+                     threshold: float = -0.999, iterations: int = 100,
+                     buffer_size: int = 50):
+    """Pick a crop center over the breast mask — the reference's full
+    recipe (`nyu_cropping.py:219-270`): orient the breast left, threshold,
+    erode/label/dilate to the largest component, buffered bbox, then the
+    COM-anchored optimal-window search with a view-dependent constraint
+    (cc: right edge pinned; mlo: bottom-right pinned).
+
+    Returns ``((center_y, center_x), bbox, wininfo)`` with center_x mapped
+    back to the original (unflipped) frame for ``side='right'``."""
+    from xfmamba_tpu.data import optimal_centers as oc
+
+    x = img[:, ::-1] if side == "right" else img
+    mask = fast_binary_erosion(x > threshold, iterations)
+    mask = largest_connected_component(mask)
+    mask = fast_binary_dilation(mask, iterations)
+
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        bbox = (0, 0, mask.shape[0], mask.shape[1])
+    else:
+        bbox = (int(rows[0]), int(cols[0]),
+                int(rows[-1]) + 1, int(cols[-1]) + 1)
+    ymax = max(0, min(bbox[2] + buffer_size, mask.shape[0]))
+    xmax = max(0, min(bbox[3] + buffer_size, mask.shape[1]))
+
+    if view == "cc":
+        constraint = oc.get_rightmost_pixel_constraint(rightmost_x=xmax)
+    else:
+        assert view == "mlo"
+        constraint = oc.get_bottomrightmost_pixel_constraint(
+            rightmost_x=xmax, bottommost_y=ymax)
+
+    wininfo = oc.get_image_optimal_window_info(
+        image=mask, com=np.array(mask.shape) // 2,
+        window_dim=np.array(crop_size), tl_br_constraint=constraint)
+    cy, cx = int(wininfo["best_center_y"]), int(wininfo["best_center_x"])
+    if side == "right":
+        cx = x.shape[1] - cx
+    return (cy, cx), bbox, wininfo
