@@ -1,0 +1,93 @@
+"""Gradient parity for the whole-map nk-scan training op
+(`ops/nk_scan_adjoint.py`): custom-vjp (serial forward kernel + whole-map
+adjoint kernel, interpret mode on CPU) vs XLA autodiff of the composable
+`ss2d_core_from_projs` path — all 7 gradient leaves, every scan mode, and
+the G-group path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xfmamba_tpu.models.ss2d import ss2d_core_from_projs
+from xfmamba_tpu.ops.selective_scan import selective_scan
+from xfmamba_tpu.ops.nk_scan_adjoint import (
+    nk_bwd_vmem_estimate, nk_scan_train_from_projs, pick_nk_train_group)
+
+pytestmark = pytest.mark.slow
+
+
+def _projs(seed, B, H, W, D, K, N):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (B, H, W, D), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, H, W, K, D), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, H, W, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, H, W, K, N), jnp.float32)
+    A = -jnp.exp(0.5 * jax.random.normal(ks[4], (K, D, N), jnp.float32))
+    Dmat = jax.random.normal(ks[5], (K, D), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[6], (K, D), jnp.float32)
+    return x, dts, Bs, Cs, A, Dmat, bias
+
+
+def _grads(fn, args, wy):
+    def loss(*a):
+        return jnp.sum(fn(*a) * wy)
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+NAMES = ("dx", "ddts", "dBs", "dCs", "dA", "dD", "dbias")
+
+
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi", "bidi"])
+def test_nk_train_grads_match_composable(scan_mode):
+    B, H, W, D, K, N = 2, 6, 8, 16, 4, 4
+    args = _projs(0, B, H, W, D, K, N)
+    wy = jax.random.normal(jax.random.PRNGKey(9), (B, H, W, D), jnp.float32)
+
+    g_ref = _grads(lambda *a: ss2d_core_from_projs(
+        *a, scan_mode=scan_mode, scan_impl=selective_scan), args, wy)
+    g_k = _grads(lambda *a: nk_scan_train_from_projs(
+        *a, scan_mode=scan_mode, group=1, interpret=True), args, wy)
+    for nm, a, r in zip(NAMES, g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_nk_train_grads_group_path(group):
+    """The G-image interleave must not leak gradients across stacked
+    images (pred/succ shifts are G-strided)."""
+    B, H, W, D, K, N = 4, 4, 8, 8, 4, 2
+    args = _projs(1, B, H, W, D, K, N)
+    wy = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, D), jnp.float32)
+    g_1 = _grads(lambda *a: nk_scan_train_from_projs(
+        *a, scan_mode="cross2d", group=1, interpret=True), args, wy)
+    g_g = _grads(lambda *a: nk_scan_train_from_projs(
+        *a, scan_mode="cross2d", group=group, interpret=True), args, wy)
+    for nm, a, r in zip(NAMES, g_g, g_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=nm)
+
+
+def test_nk_train_forward_matches_inference_kernel():
+    """The custom-vjp primal is exactly the inference nk kernel."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_from_projs_v2
+    B, H, W, D, K, N = 2, 4, 8, 8, 4, 2
+    args = _projs(2, B, H, W, D, K, N)
+    y_inf = nk_scan_from_projs_v2(*args, scan_mode="cross2d", group=2,
+                                  interpret=True)
+    y_tr = nk_scan_train_from_projs(*args, scan_mode="cross2d", group=2,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_inf),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pick_nk_train_group_production_geometry():
+    """The CrossSS2Dv5 production geometry (7x7, D=1536, K=4, N=16) must
+    be supported at some G at both bs16 (3 streams -> B=48) and bs64
+    (B=192), and the estimate must stay under the budget."""
+    for B in (48, 192):
+        g = pick_nk_train_group(B, 49, 7, 1536, 4, 16)
+        # only G=8 satisfies 8 | L*G at L=49
+        assert g == 8, (B, g)
+        assert nk_bwd_vmem_estimate(49, 1536, 4, 16, g) < 112 * 1024 * 1024

@@ -323,9 +323,19 @@ def core_dispatch(x, dts, Bs, Cs, A, Dmat, bias, scan_mode="cross2d",
             from xfmamba_tpu.ops.selective_scan_pallas import (
                 ss2d_core_pallas)
             return ss2d_core_pallas(x, dts, Bs, Cs, A, Dmat, bias)
-        # N>1 (fusion ops, d_state=16): per-direction grouped kernel with
-        # in-kernel reverse — avoids the XLA associative scan's (B,L,D,N)
-        # materializations
+        # N>1 (fusion ops, d_state=16): whole-map nk kernel pair (serial
+        # fwd + whole-map adjoint bwd) when the geometry fits — one grid
+        # step per G-image group instead of B*K grouped-kernel steps
+        from xfmamba_tpu.ops import nk_scan_adjoint as _nka
+        B, H, W, D = x.shape
+        K = A.shape[0]
+        g = _nka.nk_train_supported(B, H * W, W, D, K, N, scan_mode)
+        if g is not None:
+            return _nka.nk_scan_train_from_projs(
+                x, dts, Bs, Cs, A, Dmat, bias, scan_mode=scan_mode,
+                group=g)
+        # fallback: per-direction grouped kernel with in-kernel reverse —
+        # avoids the XLA associative scan's (B,L,D,N) materializations
         from xfmamba_tpu.ops.selective_scan_pallas import selective_scan_auto
         return ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
                                     scan_mode=scan_mode,
