@@ -90,4 +90,7 @@ def test_pick_nk_train_group_production_geometry():
         g = pick_nk_train_group(B, 49, 7, 1536, 4, 16)
         # only G=8 satisfies 8 | L*G at L=49
         assert g == 8, (B, g)
-        assert nk_bwd_vmem_estimate(49, 1536, 4, 16, g) < 112 * 1024 * 1024
+        # calibrated estimate must bracket the measured 122.44 MB Mosaic
+        # allocation from below the 126 MB budget
+        est = nk_bwd_vmem_estimate(49, 1536, 4, 16, g)
+        assert 118 * 1024 * 1024 < est < 126 * 1024 * 1024, est

@@ -176,6 +176,65 @@ def test_adjoint_kernel_compiles_at_production_geometry(H, W, d):
     assert compiled is not None
 
 
+def test_nk_adjoint_grads_match_on_device():
+    """Compiled whole-map nk adjoint (fusion-op training backward) vs XLA
+    autodiff of the composable path at a CrossSS2Dv5-class geometry
+    (7x7, K=4, N=16, G=8 — the only aligned group at L=49)."""
+    from xfmamba_tpu.models.ss2d import ss2d_core_from_projs
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+    from xfmamba_tpu.ops.nk_scan_adjoint import nk_scan_train_from_projs
+
+    B, H, W, D, K, N = 16, 7, 7, 256, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(ks[0], (B, H, W, D), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, H, W, K, D), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, H, W, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, H, W, K, N), jnp.float32)
+    A = -jnp.exp(0.5 * jax.random.normal(ks[4], (K, D, N), jnp.float32))
+    Dmat = jax.random.normal(ks[5], (K, D), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[6], (K, D), jnp.float32)
+    wy = jax.random.normal(jax.random.PRNGKey(9), (B, H, W, D), jnp.float32)
+    args = (x, dts, Bs, Cs, A, Dmat, bias)
+
+    def grads(fn):
+        def loss(*a):
+            return jnp.sum(fn(*a) * wy)
+        return jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*args)
+
+    g_ref = grads(lambda *a: ss2d_core_from_projs(
+        *a, scan_mode="cross2d", scan_impl=selective_scan))
+    g_k = grads(lambda *a: nk_scan_train_from_projs(
+        *a, scan_mode="cross2d"))
+    names = ("dx", "ddts", "dBs", "dCs", "dA", "dD", "dbias")
+    for nm, a, r in zip(names, g_k, g_ref):
+        assert _record_err(f"nk_adjoint_{nm}", _rel_err(a, r)) < 5e-3, nm
+
+
+def test_nk_adjoint_compiles_at_production_geometry():
+    """AOT-compile the nk adjoint at the full bs16 CrossSS2Dv5 geometry
+    (B=48 streams, D=1536): the G=8 VMEM estimate must hold on-chip."""
+    from xfmamba_tpu.ops.nk_scan_adjoint import (
+        nk_scan_bwd_call, pick_nk_train_group)
+
+    B, L, H, W, D, K, N = 48, 49, 7, 7, 1536, 4, 16
+    g = pick_nk_train_group(B, L, W, D, K, N)
+    assert g == 8
+    kinds = ("row_f", "col_f", "row_r", "col_r")
+    bf16 = jnp.bfloat16
+    u = jnp.zeros((B, L, D), bf16)
+    dts = jnp.zeros((B, L, K * D), bf16)
+    Bs = jnp.zeros((B, L, K * N), bf16)
+    Cs = jnp.zeros((B, L, K * N), bf16)
+    A = jnp.zeros((K * N, D), jnp.float32)
+    Dvec = jnp.zeros((K, D), jnp.float32)
+    bias = jnp.zeros((K, D), jnp.float32)
+    gy = jnp.zeros((B, L, D), bf16)
+    compiled = nk_scan_bwd_call.lower(
+        u, dts, Bs, Cs, A, Dvec, bias, gy, H=H, W=W, kinds=kinds,
+        group=g).compile()
+    assert compiled is not None
+
+
 def test_ssd_pallas_matches_xla_on_device():
     """Compiled SSD kernel vs the XLA einsum path at an m2-like geometry."""
     from xfmamba_tpu.ops.ssd import ssd_chunk_scan

@@ -204,12 +204,15 @@ def nk_bwd_vmem_estimate(L, D, K, N, G):
     (Lg, D)-map units: 8 scratch (ab/bb are 2-wide) + 3+2K persistent
     values (u/gy/du, K dt maps, K ddt accumulators) + ~6 transient temps
     in the (k, n) loop body — the stack part gets the Mosaic allocation
-    fudge (1.3x, cf. the block adjoint's measured 1.62x on a
-    stack-dominated kernel); the batch-blocked in/outs (u/dts/gy at
-    input dtype, du/ddts f32) are double-buffered windows, counted
-    unfudged.  NOTE: at the CrossSS2Dv5 7x7 geometry only G=8 satisfies
-    the 8 | L*G alignment, so the estimate must admit G=8 there
-    (~100 MB) — the on-chip tier compile-checks it."""
+    fudge (1.8x, CALIBRATED on-chip: Mosaic reported a 122.44 MB scoped
+    allocation at the CrossSS2Dv5 bs16 geometry L=49 D=1536 K=4 N=16 G=8,
+    where the analytic stack is 60.2 MB + 16.3 MB of windows; cf. the
+    block adjoint's measured 1.62x); the batch-blocked in/outs (u/dts/gy
+    at input dtype, du/ddts f32) are double-buffered windows, counted
+    unfudged.  NOTE: at the 7x7 geometry only G=8 satisfies the 8 | L*G
+    alignment, so the budget must admit ~125 MB there (real 122.44 fits
+    under the 127 MB hardware-practical cap with ~4.5 MB headroom) — the
+    on-chip tier compile-checks it."""
     Lg = L * G
 
     def pad128(n):
@@ -218,10 +221,10 @@ def nk_bwd_vmem_estimate(L, D, K, N, G):
     unit = Lg * pad128(D) * 4
     stack = (8 + 3 + 2 * K + 6) * unit
     io = (1.5 + 0.5 * K) * unit * 0.5 + (1 + K) * unit
-    return int(1.3 * stack + io)
+    return int(1.8 * stack + io)
 
 
-_NK_BWD_BUDGET = 112 * 1024 * 1024
+_NK_BWD_BUDGET = 126 * 1024 * 1024
 
 
 def pick_nk_train_group(B, L, W, D, K, N,
