@@ -82,6 +82,52 @@ def test_nk_train_forward_matches_inference_kernel():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_nk_train_shallowfuse_pattern_grads():
+    """The ShallowFuse per-k training call pattern (K=2 flat forward
+    scans, one nk_scan_train per group) vs the composable selective_scan
+    oracle over the stacked input — output and input grads."""
+    from xfmamba_tpu.ops.nk_scan_adjoint import nk_scan_train
+    from xfmamba_tpu.ops.selective_scan import selective_scan
+
+    B, H, W, d_inner, N = 2, 4, 8, 12, 4
+    K = 2
+    L = H * W
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    u = jax.random.normal(ks[0], (B, L, K * d_inner), jnp.float32)
+    dts = 0.3 * jax.random.normal(ks[1], (B, L, K * d_inner), jnp.float32)
+    Bs = jax.random.normal(ks[2], (B, L, K, N), jnp.float32)
+    Cs = jax.random.normal(ks[3], (B, L, K, N), jnp.float32)
+    A2 = -jnp.exp(0.5 * jax.random.normal(ks[4], (K * d_inner, N),
+                                          jnp.float32))
+    Ds = jax.random.normal(ks[5], (K * d_inner,), jnp.float32)
+    bias = 0.1 * jnp.ones((K * d_inner,), jnp.float32)
+    wy = jax.random.normal(jax.random.PRNGKey(8), (B, L, K * d_inner),
+                           jnp.float32)
+
+    def loss_ref(u, dts, Bs, Cs):
+        y = selective_scan(u, dts, A2, Bs, Cs, Ds, bias,
+                           delta_softplus=True)
+        return jnp.sum(y * wy)
+
+    def loss_nk(u, dts, Bs, Cs):
+        ys = []
+        for k in range(K):
+            sl = slice(k * d_inner, (k + 1) * d_inner)
+            ys.append(nk_scan_train(
+                H, W, ("row_f",), 1, True,
+                u[..., sl], dts[..., sl], Bs[:, :, k], Cs[:, :, k],
+                jnp.swapaxes(A2[sl], 0, 1), Ds[sl].reshape(1, -1),
+                bias[sl].reshape(1, -1)))
+        return jnp.sum(jnp.concatenate(ys, axis=-1) * wy)
+
+    args = (u, dts, Bs, Cs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_nk = jax.grad(loss_nk, argnums=(0, 1, 2, 3))(*args)
+    for nm, a, r in zip(("du", "ddts", "dBs", "dCs"), g_nk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
 def test_pick_nk_train_group_production_geometry():
     """The CrossSS2Dv5 production geometry (7x7, D=1536, K=4, N=16) must
     be supported at some G at both bs16 (3 streams -> B=48) and bs64

@@ -191,16 +191,37 @@ class ShallowFuseSS2Dv4(nn.Module):
                     H, W, ("row_f",), group=group))
             ys = jnp.concatenate(ys, axis=-1)
         else:
-            scan_impl = self.scan_impl
-            if scan_impl is selective_scan \
-                    and jax.default_backend() != "cpu":
-                from xfmamba_tpu.ops.selective_scan_pallas import (
-                    selective_scan_auto)
-                scan_impl = selective_scan_auto
-            ys = scan_impl(
-                u, dts.reshape(B, L, K * d_inner),
-                -jnp.exp(A_logs.astype(jnp.float32)),
-                Bs, Cs, Ds, dt_projs_bias.reshape(-1), delta_softplus=True)
+            from xfmamba_tpu.ops import nk_scan_adjoint as _nka
+            g_nk = (_nka.nk_train_supported(B, L, W, d_inner, 1, N, "unidi")
+                    if self.scan_impl is selective_scan else None)
+            if g_nk is not None:
+                # training: whole-map nk kernel pair per group (serial fwd
+                # + whole-map adjoint bwd) instead of the grouped kernels
+                A2 = -jnp.exp(A_logs.astype(jnp.float32))
+                ys_k = []
+                for k in range(K):
+                    sl = slice(k * d_inner, (k + 1) * d_inner)
+                    ys_k.append(_nka.nk_scan_train(
+                        H, W, ("row_f",), g_nk, False,
+                        u[..., sl],
+                        dts.reshape(B, L, K * d_inner)[..., sl],
+                        Bs[:, :, k], Cs[:, :, k],
+                        jnp.swapaxes(A2[sl], 0, 1),
+                        Ds[sl].reshape(1, -1),
+                        dt_projs_bias[k].reshape(1, -1)))
+                ys = jnp.concatenate(ys_k, axis=-1)
+            else:
+                scan_impl = self.scan_impl
+                if scan_impl is selective_scan \
+                        and jax.default_backend() != "cpu":
+                    from xfmamba_tpu.ops.selective_scan_pallas import (
+                        selective_scan_auto)
+                    scan_impl = selective_scan_auto
+                ys = scan_impl(
+                    u, dts.reshape(B, L, K * d_inner),
+                    -jnp.exp(A_logs.astype(jnp.float32)),
+                    Bs, Cs, Ds, dt_projs_bias.reshape(-1),
+                    delta_softplus=True)
         # SwappingMerge: split back (true adjoint under autodiff,
         # `fusion_vmamba.py:224-241`)
         y1 = ys[..., :d_inner].reshape(B, H, W, d_inner).astype(x.dtype)
