@@ -61,7 +61,8 @@ def test_train_and_infer_cli(mura_tree, tmp_path):
     state, history = train_main([
         "--dataset", "mura", "--model_name", "twoviewxfmamba_smoke",
         "--image_size", "32", "--batch_size", "4", "--epochs", "1",
-        "--num_workers", "2", "--data_root", str(root),
+        "--num_workers", "2", "--data_parallel", "0",
+        "--data_root", str(root),
         "--train_image_csv", str(img_csv),
         "--train_label_csv", str(lbl_csv),
         "--valid_image_csv", str(img_csv),

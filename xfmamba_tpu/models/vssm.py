@@ -27,6 +27,21 @@ _ACTS = dict(silu=nn.silu, gelu=gelu, relu=nn.relu,
              sigmoid=jax.nn.sigmoid)
 
 
+def _gelu_pe(x):
+    """Patch-embed GELU: tanh form on the TPU bf16 path under the same
+    `GELU_TANH` policy the fused block kernels ship (NOTES r2s3: logits
+    bitwise-equal at bf16 output precision; max abs dev ~3e-4), exact erf
+    elsewhere.  Measured on-chip at the (128,112,112,48) embed map
+    (scripts/ab_seg_ln.py follow-up, 2026-08-21): LN+erf 2.24 ms fwd /
+    3.30 grad vs LN+tanh 1.11-1.24 / 2.13-2.15 — the erf rational is
+    ~half the patch-embed glue.  Pallas/packed-layout LN alternatives
+    measured WORSE (`ops/ablations/seg_ln.py` for the numbers)."""
+    from xfmamba_tpu.ops import vss_block_pallas as _vbp
+    if _vbp.GELU_TANH and jax.default_backend() == "tpu":
+        return jax.nn.gelu(x, approximate=True)
+    return gelu(x)
+
+
 class PatchEmbedV1(nn.Module):
     """Single conv stride-4 patchify (`vmamba.py:2196-2202`)."""
     embed_dim: int
@@ -67,7 +82,7 @@ class PatchEmbedV2(nn.Module):
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="norm1")(x)
-        x = gelu(x)
+        x = _gelu_pe(x)
         x = Conv2dSame(self.embed_dim, (k, k), strides=(stride, stride),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv2")(x)
