@@ -141,6 +141,45 @@ def test_fused_train_grads_match_on_device():
                        max(jax.tree_util.tree_leaves(errs))) < 5e-2
 
 
+def test_stage_train_grads_match_on_device():
+    """Stage-stacked training path (`ops/vss_stage_train.py`: one stacked
+    kernel forward + chained per-block adjoint backward) vs composable
+    autodiff, at a depth-2 two-stage geometry that actually triggers it."""
+    from xfmamba_tpu.models.vssm import VSSM
+    from xfmamba_tpu.ops import vss_block_pallas_v2 as v2
+
+    model = VSSM(depths=(2, 2), dims=32, num_classes=2, ssm_d_state=1,
+                 ssm_ratio=2.0, ssm_conv_bias=False,
+                 forward_type="v05_noz", mlp_ratio=4.0, drop_path_rate=0.0,
+                 downsample_version="v3", patchembed_version="v2",
+                 dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 64, 64, 3),
+                          jnp.bfloat16)
+    labels = jnp.zeros((8,), jnp.int32)
+    params = model.init(jax.random.key(0), x)["params"]
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, x, deterministic=False,
+                             rngs={"dropout": jax.random.key(3)})
+        onehot = jax.nn.one_hot(labels, 2)
+        return -jnp.mean(jnp.sum(
+            jax.nn.log_softmax(logits.astype(jnp.float32)) * onehot, -1))
+
+    assert v2.FUSED_STAGE_TRAIN and v2.FUSED_TRAIN
+    lf, gf = jax.jit(jax.value_and_grad(loss_fn))(params)
+    v2.FUSED_STAGE_TRAIN = False
+    v2.FUSED_TRAIN = False
+    try:
+        lc, gc = jax.jit(jax.value_and_grad(loss_fn))(params)
+    finally:
+        v2.FUSED_STAGE_TRAIN = True
+        v2.FUSED_TRAIN = True
+    assert abs(float(lf) - float(lc)) < 1e-3
+    errs = jax.tree_util.tree_map(_rel_err, gf, gc)
+    assert _record_err("stage_train_grads_max",
+                       max(jax.tree_util.tree_leaves(errs))) < 5e-2
+
+
 @pytest.mark.parametrize("H,W,d", [
     (56, 56, 96),     # stage 0 — the geometry with the tightest headroom
     (28, 28, 192),

@@ -354,6 +354,64 @@ class VSSM(nn.Module):
                                    self.ssm_conv_bias, fuse_mlp, g2)
         return y.reshape(B, H, W, d)
 
+    def _fused_stage_train_path(self, x, i, depth, dprs):
+        """Stage-stacked TRAINING forward (`ops/vss_stage_train.py`): one
+        kernel per stage with the MLP halves fused and per-block drop-path
+        masks; backward = per-block adjoint kernel + XLA MLP-half vjp from
+        the kernel-saved mid-points.  Returns None when not applicable."""
+        if self.is_initializing() or depth < 2 or self.use_checkpoint:
+            return None
+        if (self.forward_type != "v05_noz" or self.ssm_d_state != 1
+                or self.ssm_ratio <= 0 or self.ssm_act != "silu"
+                or self.ssm_conv != 3 or self.gmlp or self.mlp_ratio <= 0
+                or self.mlp_act != "gelu" or self.dtype != jnp.bfloat16
+                or self.ssm_drop_rate != 0.0 or self.mlp_drop_rate != 0.0
+                or jax.default_backend() == "cpu"):
+            return None
+        from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
+        if not (_v2.FUSED_V2 and _v2.FUSED_TRAIN and _v2.FUSED_STAGE_TRAIN):
+            return None
+        B, H, W, d = x.shape
+        di = int(self.ssm_ratio * d)
+        hd = int(d * self.mlp_ratio)
+        from xfmamba_tpu.ops.vss_stage_train import (
+            pick_stage_train_groups, vss_stage_train)
+        groups = pick_stage_train_groups(B, H, W, d, di, hd)
+        if groups is None:
+            return None
+        params = self.variables["params"]
+        ps = []
+        for j in range(depth):
+            p = params.get(f"stage{i}_block{j}")
+            if (p is None or "bias" in p["op"]["in_proj"]
+                    or "out_norm" not in p["op"]
+                    or "norm" not in p["op"]["out_norm"]):
+                return None
+            ps.append(p)
+        from xfmamba_tpu.ops.vss_block_pallas import pack_vss_block_params
+        packed = [pack_vss_block_params(p, x.dtype, fuse_mlp=True)
+                  for p in ps]
+        stacked = tuple(jnp.stack(ws) for ws in zip(*packed))
+        L = H * W
+        masks = []
+        for rate in dprs:
+            pair = []
+            for _ in range(2):   # SS2D-half and MLP-half draws (DropPath)
+                if rate > 0.0:
+                    keep = 1.0 - rate
+                    m = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                             (B,)) / keep
+                else:
+                    m = jnp.ones((B,), jnp.float32)
+                pair.append(jnp.broadcast_to(
+                    m.astype(jnp.float32)[:, None, None], (B, L, 1)))
+            masks.append(pair)
+        m1 = jnp.stack([p[0] for p in masks])
+        m2 = jnp.stack([p[1] for p in masks])
+        y = vss_stage_train(H, W, self.ssm_conv_bias, groups[0], groups[1],
+                            x.reshape(B, L, d), m1, m2, *stacked)
+        return y.reshape(B, H, W, d)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dims = self.stage_dims
@@ -381,6 +439,11 @@ class VSSM(nn.Module):
         for i in range(num_layers):
             fused_stage = self._fused_stage_path(x, i, self.depths[i],
                                                  deterministic)
+            if fused_stage is None and not deterministic:
+                dprs = [float(dpr[sum(self.depths[:i]) + j])
+                        for j in range(self.depths[i])]
+                fused_stage = self._fused_stage_train_path(
+                    x, i, self.depths[i], dprs)
             if fused_stage is not None:
                 x = fused_stage
             for j in range(self.depths[i] if fused_stage is None else 0):

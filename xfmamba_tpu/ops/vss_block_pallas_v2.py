@@ -54,6 +54,9 @@ FUSED_V2 = True
 FUSED_TRAIN = True
 # whole-stage stacked kernel (weights streamed via grid, x in scratch)
 FUSED_STAGE = True
+# stage-stacked TRAIN forward (MLP fused in-kernel, per-block saves;
+# backward = per-block adjoint kernel + XLA MLP-half vjp)
+FUSED_STAGE_TRAIN = True
 # packed-bf16 whole-map arithmetic on the INFERENCE path (fold_ln=True):
 # MEASURED DEAD END — default OFF.  The theory (bf16 tile (16,128) = two
 # sublanes per f32 vreg, packed mul/add at ~2x issue rate) does not
@@ -261,10 +264,13 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps,
                 mm_dtype,
                 x, ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
                 lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2, m1, m2,
-                hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref):
+                hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref,
+                want_mid=False):
     """One whole VSSBlock on an f32 (Lg, d) VALUE; weights as values, scan
     scratch as refs.  Shared by the per-block kernel and the stage-stacked
-    kernel (`_vss_stage_kernel_v2`).  Returns the f32 residual output.
+    kernel (`_vss_stage_kernel_v2`).  Returns the f32 residual output (or,
+    with ``want_mid``, the (post-SS2D-half, final) pair — the stage-stacked
+    TRAIN kernel saves the mid-point for the MLP-half backward).
 
     NOTE (r3 measured dead end): writing the scan h sequences IN PLACE
     over their own a/b scratch (4 maps instead of 6) regressed every
@@ -379,6 +385,7 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps,
     if m1 is not None:
         out = out * m1[:, 0:1].astype(f32)
     res = x + out
+    mid = res
 
     if fuse_mlp:
         if fold_ln:
@@ -397,6 +404,8 @@ def _block_body(H, W, R, G, conv_bias, fuse_mlp, fold_ln, bf16_maps,
             f2 = f2 * m2[:, 0:1].astype(f32)
         res = res + f2
 
+    if want_mid:
+        return mid, res
     return res
 
 
@@ -637,6 +646,108 @@ def _vss_stage_call_v2(*args, bf16_maps=None, bf16_scratch=None, **kw):
 
 
 _vss_stage_call_v2.clear_cache = _vss_stage_call_v2_jit.clear_cache
+
+
+# ---------------------------------------------------------------------
+# stage-stacked TRAIN forward: whole stage per pallas_call, MLP fused,
+# per-block drop-path masks, per-block (input, mid) saves for the
+# backward (SS2D half -> block adjoint kernel, MLP half -> XLA vjp).
+# The custom-vjp wiring lives in `ops/vss_stage_train.py`.
+# ---------------------------------------------------------------------
+
+def _vss_stage_train_kernel_v2(H, W, R, G, conv_bias, mm_dtype, out_dtype,
+                               x_ref, ln1_ref, w_in_ref, w_conv_ref,
+                               b_conv_ref, w_xp_ref, w_dt_ref, b_dt_ref,
+                               A_ref, Dsum_ref, lno_ref, w_out_ref, ln2_ref,
+                               w_fc1_ref, b_fc1_ref, w_fc2_ref, b_fc2_ref,
+                               m1_ref, m2_ref,
+                               y_ref, xsv_ref, midsv_ref,
+                               xs_ref, hf_ref, hr_ref,
+                               af_ref, bf_ref, ar_ref, br_ref):
+    """grid = (B//G, depth): like `_vss_stage_kernel_v2` but train-mode —
+    fold_ln off (param grads need the unfolded form), per-block masks, and
+    the block input + post-SS2D mid-point written out for the backward."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xs_ref[...] = x_ref[0]
+
+    xin = xs_ref[...]
+    xsv_ref[0, 0] = xin
+    mid, res = _block_body(
+        H, W, R, G, conv_bias, True, False, False, mm_dtype,
+        xin.astype(jnp.float32), ln1_ref[0], w_in_ref[0],
+        w_conv_ref[0], b_conv_ref[0], w_xp_ref[0], w_dt_ref[0],
+        b_dt_ref[0], A_ref[0], Dsum_ref[0], lno_ref[0], w_out_ref[0],
+        ln2_ref[0], w_fc1_ref[0], b_fc1_ref[0], w_fc2_ref[0],
+        b_fc2_ref[0], m1_ref[0, 0], m2_ref[0, 0],
+        hf_ref, hr_ref, af_ref, bf_ref, ar_ref, br_ref, want_mid=True)
+    midsv_ref[0, 0] = mid.astype(out_dtype)
+    out = res.astype(out_dtype)
+    xs_ref[...] = out
+    y_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "conv_bias",
+                                              "interpret", "vmem_mb",
+                                              "group"))
+def _vss_stage_train_call(x, m1, m2, ln1, w_in, w_conv, b_conv, w_xp, w_dt,
+                          b_dt, A, Dsum, lno, w_out, ln2, w_fc1, b_fc1,
+                          w_fc2, b_fc2,
+                          H, W, conv_bias, interpret=False, vmem_mb=100,
+                          group=8):
+    """Stage-train entry.  x (B, L, d); m1/m2 (depth, B, L, 1) drop-path
+    keep masks; weights depth-stacked.  Returns
+    (y (B, L, d), xsaves (depth, B, L, d), mids (depth, B, L, d))."""
+    B, L, d = x.shape
+    G = group if B % group == 0 else 1
+    assert G in (1, 2, 4, 8) and (L * G) % 8 == 0 and (W * G) % 8 == 0, \
+        (L, W, G)
+    depth = ln1.shape[0]
+    R = w_dt.shape[1] // 4
+    di = w_in.shape[2]
+    mm_dtype = w_in.dtype
+    f32 = jnp.float32
+    xi = _interleave(x, G)
+    m1i = jax.vmap(_interleave, in_axes=(0, None))(m1.astype(f32), G)
+    m2i = jax.vmap(_interleave, in_axes=(0, None))(m2.astype(f32), G)
+    kernel = functools.partial(
+        _vss_stage_train_kernel_v2, H, W, R, G, conv_bias, mm_dtype,
+        x.dtype)
+    Lg = L * G
+    blk_x = pl.BlockSpec((1, Lg, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_m = pl.BlockSpec((1, 1, Lg, 1), lambda b, j: (j, b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_sv = pl.BlockSpec((1, 1, Lg, d), lambda b, j: (j, b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    weights = [ln1, w_in, w_conv, b_conv, w_xp, w_dt, b_dt, A, Dsum,
+               lno, w_out, ln2, w_fc1, b_fc1, w_fc2, b_fc2]
+
+    def wspec(w):
+        s = w.shape[1:]
+        return pl.BlockSpec((1,) + s, lambda b, j: (j,) + (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    y, xsv, midsv = pl.pallas_call(
+        kernel,
+        grid=(B // G, depth),
+        in_specs=[blk_x] + [wspec(w) for w in weights] + [blk_m, blk_m],
+        out_specs=[blk_x, blk_sv, blk_sv],
+        out_shape=[jax.ShapeDtypeStruct((B // G, Lg, d), x.dtype),
+                   jax.ShapeDtypeStruct((depth, B // G, Lg, d), x.dtype),
+                   jax.ShapeDtypeStruct((depth, B // G, Lg, d), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((Lg, d), x.dtype)]
+        + [pltpu.VMEM((Lg, di), f32) for _ in range(6)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(xi, *weights, m1i, m2i)
+    deint = lambda a: _deinterleave(a, G, L).reshape(B, L, d)
+    return (deint(y),
+            jax.vmap(lambda a: deint(a))(xsv),
+            jax.vmap(lambda a: deint(a))(midsv))
 
 
 def vss_stage_fused_v2(x, ps, H, W, conv_bias, fuse_mlp, group=8):
