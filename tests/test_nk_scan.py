@@ -111,6 +111,43 @@ def test_nk_scan_v2_matches_composable(scan_mode):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("scan_mode", ["cross2d", "unidi"])
+def test_nk_scan_v2r_rank_form_matches_composable(scan_mode):
+    """Rank-form kernel (`nk_scan_call_v2r`: in-kernel rank→D Δ stage +
+    folded out-norm) vs the composable oracle followed by the same LN."""
+    from xfmamba_tpu.ops.vss_block_pallas_v2 import nk_scan_call_v2r
+    B, H, W, D, K, N, R = 2, 4, 8, 16, 4, 4, 6
+    x, _, Bs, Cs, A, Dmat, bias = _projs(5, B, H, W, D, K, N)
+    ks = jax.random.split(jax.random.PRNGKey(77), 4)
+    ranks = 0.3 * jax.random.normal(ks[0], (B, H, W, K, R), jnp.float32)
+    w_dt = 0.2 * jax.random.normal(ks[1], (K, D, R), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[2], (D,), jnp.float32)
+    shift = 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+
+    dts = jnp.einsum("bhwkr,kdr->bhwkd", ranks, w_dt)
+    y_raw = ss2d_core_from_projs(x, dts, Bs, Cs, A, Dmat, bias,
+                                 scan_mode=scan_mode,
+                                 scan_impl=selective_scan)
+    mu = y_raw.mean(-1, keepdims=True)
+    var = ((y_raw - mu) ** 2).mean(-1, keepdims=True)
+    y_ref = (y_raw - mu) * jax.lax.rsqrt(var + 1e-5) * scale + shift
+
+    kinds = dict(cross2d=("row_f", "col_f", "row_r", "col_r"),
+                 unidi=("row_f",) * K)[scan_mode]
+    L = H * W
+    w_dt_p = jnp.concatenate(
+        [jnp.swapaxes(w_dt[k], 0, 1) for k in range(K)], axis=0)
+    A_p = jnp.swapaxes(A, 1, 2).reshape(K * N, D)
+    lno = jnp.stack([scale, shift])
+    y_k = nk_scan_call_v2r(
+        x.reshape(B, L, D), ranks.reshape(B, L, K * R),
+        Bs.reshape(B, L, K * N), Cs.reshape(B, L, K * N),
+        w_dt_p, A_p, Dmat, bias, lno, H, W, kinds, group=2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k.reshape(B, H, W, D)),
+                               np.asarray(y_ref), rtol=3e-4, atol=3e-4)
+
+
 def test_nk_scan_v2_shallowfuse_pattern():
     """K=1 flat forward chains (the ShallowFuse per-k call) via the v2
     serial kernel vs the selective_scan oracle."""

@@ -379,37 +379,63 @@ class CrossSS2Dv5(nn.Module):
         # one projection einsum and ONE scan-kernel invocation instead of
         # three; the fused stream's Cs substitute for each view's own
         # (`:537,:568`)
-        dts_c, Bs_c, Cs_c = _project_kdirs(xcat, x_proj_weight,
-                                           dt_projs_weight, R, N)
-        Cs_f = Cs_c[:Bv]
-        Cs_sub = jnp.concatenate([Cs_f, Cs_f, Cs_f], axis=0)
         from xfmamba_tpu.ops import vss_block_pallas as _vbp
-        if (deterministic and jax.default_backend() != "cpu"
-                and _vbp.FUSED_INFERENCE
-                and self.scan_backend in ("auto", "pallas")
-                and self.scan_impl is selective_scan
-                and self.scan_mode in ("cross2d", "unidi", "bidi")):
-            # inference: whole-map multi-state kernel (one grid step per
-            # G-image group instead of B*K*N grouped-kernel steps); serial
-            # v2 when the interleaved alignment holds
-            from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
-            from xfmamba_tpu.ops.vss_block_pallas import nk_scan_from_projs
-            Hc, Wc = xcat.shape[1], xcat.shape[2]
-            if _v2.FUSED_V2 and any(
-                    xcat.shape[0] % g == 0 and (Hc * Wc * g) % 8 == 0
-                    and (Wc * g) % 8 == 0 for g in (8, 4, 2)):
-                y3 = _v2.nk_scan_from_projs_v2(xcat, dts_c, Bs_c, Cs_sub,
-                                               A, Dmat, bias,
-                                               scan_mode=self.scan_mode)
-            else:
+        from xfmamba_tpu.ops import vss_block_pallas_v2 as _v2
+        Hc, Wc = xcat.shape[1], xcat.shape[2]
+        Bc = xcat.shape[0]
+        fused_ok = (deterministic and jax.default_backend() != "cpu"
+                    and _vbp.FUSED_INFERENCE
+                    and self.scan_backend in ("auto", "pallas")
+                    and self.scan_impl is selective_scan
+                    and self.scan_mode in ("cross2d", "unidi", "bidi"))
+        group = next((g for g in (8, 4, 2)
+                      if Bc % g == 0 and (Hc * Wc * g) % 8 == 0
+                      and (Wc * g) % 8 == 0), None)
+        if (fused_ok and _v2.FUSED_V2 and group is not None
+                and not self.is_initializing()):
+            # rank-form v2 kernel: the Δ projections' rank→D stage and the
+            # out-norm run IN-KERNEL, so the (B, L, K·D) dts tensor never
+            # touches HBM and XLA's dt-einsum + LN passes disappear
+            x_dbl = jnp.einsum("bhwd,kcd->bhwkc", xcat,
+                               x_proj_weight.astype(xcat.dtype))
+            ranks = x_dbl[..., :R]
+            Bs_c = x_dbl[..., R:R + N]
+            Cs_f = x_dbl[:Bv, ..., R + N:]
+            Cs_sub = jnp.concatenate([Cs_f, Cs_f, Cs_f], axis=0)
+            kinds = dict(cross2d=("row_f", "col_f", "row_r", "col_r"),
+                         unidi=("row_f",) * K,
+                         bidi=("row_f", "row_f", "row_r", "row_r")
+                         )[self.scan_mode]
+            L = Hc * Wc
+            w_dt_p = jnp.concatenate(
+                [jnp.swapaxes(dt_projs_weight[k], 0, 1) for k in range(K)],
+                axis=0).astype(xcat.dtype)
+            A_p = jnp.swapaxes(A, 1, 2).reshape(K * N, d_inner)
+            pn = self.variables["params"]["out_norm"]
+            lno = jnp.stack([pn["scale"], pn["bias"]]).astype(jnp.float32)
+            y3 = _v2.nk_scan_call_v2r(
+                xcat.reshape(Bc, L, d_inner),
+                ranks.reshape(Bc, L, K * R),
+                Bs_c.reshape(Bc, L, K * N),
+                Cs_sub.reshape(Bc, L, K * N),
+                w_dt_p, A_p, Dmat, bias, lno, Hc, Wc, kinds, group=group)
+            y3 = y3.reshape(Bc, Hc, Wc, d_inner)
+        else:
+            dts_c, Bs_c, Cs_c = _project_kdirs(xcat, x_proj_weight,
+                                               dt_projs_weight, R, N)
+            Cs_f = Cs_c[:Bv]
+            Cs_sub = jnp.concatenate([Cs_f, Cs_f, Cs_f], axis=0)
+            if fused_ok:
+                from xfmamba_tpu.ops.vss_block_pallas import (
+                    nk_scan_from_projs)
                 y3 = nk_scan_from_projs(xcat, dts_c, Bs_c, Cs_sub, A, Dmat,
                                         bias, scan_mode=self.scan_mode)
-        else:
-            y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
-                               scan_mode=self.scan_mode,
-                               backend=self.scan_backend,
-                               scan_impl=self.scan_impl)
-        y3 = out_norm(y3.astype(x.dtype))
+            else:
+                y3 = core_dispatch(xcat, dts_c, Bs_c, Cs_sub, A, Dmat, bias,
+                                   scan_mode=self.scan_mode,
+                                   backend=self.scan_backend,
+                                   scan_impl=self.scan_impl)
+            y3 = out_norm(y3.astype(x.dtype))
         y_fuse, y, y2 = jnp.split(y3, 3, axis=0)
 
         y_fusion3 = (y + y2 + y_fuse) * z

@@ -941,6 +941,114 @@ def _nk_scan_kernel_v2(H, W, G, K, N, kinds, out_dtype,
     y_ref[0] = y.astype(out_dtype)
 
 
+def _nk_scan_x_kernel_v2(H, W, G, K, N, R, kinds, out_dtype,
+                         u_ref, rank_ref, Bs_ref, Cs_ref,
+                         w_dt_ref, A_ref, Dsum_ref, bias_ref, lno_ref,
+                         y_ref, ab_ref, bb_ref, hf_ref, hr_ref):
+    """Rank-form variant of `_nk_scan_kernel_v2`: the Δ projections'
+    SECOND stage (rank→D, the only K·D-wide tensor of the op) runs
+    in-kernel from the (Lg, K·R) rank activations, and the out-norm
+    LayerNorm is folded into the epilogue.  At the CSSF geometry
+    (3B=192, L=49, D=1536, K=4) this removes the (B, L, K·D) dts HBM
+    round-trip (~115 MB each way at bs64) plus XLA's separate dt-einsum
+    and LN passes."""
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)                                    # (Lg, D)
+    D = u.shape[1]
+    y = u * Dsum_ref[...].astype(f32)
+
+    dtus = []
+    dts = []
+    for k in range(K):
+        z = jax.lax.dot(rank_ref[0][:, k * R:(k + 1) * R],
+                        w_dt_ref[k * R:(k + 1) * R, :],
+                        preferred_element_type=f32)
+        dt = _softplus(z + bias_ref[k:k + 1, :].astype(f32))
+        dts.append(dt)
+        dtus.append(dt * u)
+
+    pairs = nk_scan_v2_kind_pairs(kinds)
+    for (kf, kr, fam) in pairs:
+        for n in range(N):
+            a_f = _exp(dts[kf] * A_ref[kf * N + n:kf * N + n + 1, :]
+                          .astype(f32))
+            b_f = dtus[kf] * Bs_ref[0][:, kf * N + n:kf * N + n + 1] \
+                .astype(f32)
+            if kr is not None:
+                a_r = _exp(dts[kr] * A_ref[kr * N + n:kr * N + n + 1, :]
+                              .astype(f32))
+                b_r = dtus[kr] * Bs_ref[0][:, kr * N + n:kr * N + n + 1] \
+                    .astype(f32)
+            else:
+                a_r = a_f
+                b_r = jnp.zeros_like(b_f)
+            ab_ref[...] = jnp.concatenate([a_f, a_r], axis=1)
+            bb_ref[...] = jnp.concatenate([b_f, b_r], axis=1)
+            if fam == "col":
+                _serial_col_pair_cols(ab_ref, bb_ref, H, W, G, hf_ref,
+                                      hr_ref)
+            else:
+                _serial_row_pair_cols(ab_ref, bb_ref, H, W, G, hf_ref,
+                                      hr_ref)
+            y = y + Cs_ref[0][:, kf * N + n:kf * N + n + 1].astype(f32) \
+                * hf_ref[...]
+            if kr is not None:
+                y = y + Cs_ref[0][:, kr * N + n:kr * N + n + 1] \
+                    .astype(f32) * hr_ref[...]
+    yn = _layer_norm(y, lno_ref[0:1, :].astype(f32),
+                     lno_ref[1:2, :].astype(f32), use_mxu=True)
+    y_ref[0] = yn.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "kinds", "group",
+                                              "interpret", "vmem_mb"))
+def nk_scan_call_v2r(u, ranks, Bs, Cs, w_dt, A, Dvec, bias, lno, H, W,
+                     kinds, group=8, interpret=False, vmem_mb=100):
+    """Rank-form nk scan + folded out-norm.  u (B, L, D); ranks
+    (B, L, K·R); Bs/Cs (B, L, K·N); w_dt (K·R, D) in u.dtype; A (K·N, D)
+    rows in (k, n) order; Dvec (K, D); bias (K, D); lno (2, D) out-norm
+    scale/bias.  Returns LN(y) (B, L, D) in u.dtype."""
+    B, L, D = u.shape
+    K = len(kinds)
+    N = A.shape[0] // K
+    R = w_dt.shape[0] // K
+    G = group if (B % group == 0 and (L * group) % 8 == 0
+                  and (W * group) % 8 == 0) else 1
+    assert (L * G) % 8 == 0 and (W * G) % 8 == 0, (L, W, G)
+    Lg = G * L
+    Dsum = Dvec.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+    def inter(z):
+        Bz, Lz, Cz = z.shape
+        z = z.reshape(Bz // G, G, Lz, Cz)
+        return jnp.swapaxes(z, 1, 2).reshape(Bz // G, Lz * G, Cz)
+
+    kernel = functools.partial(_nk_scan_x_kernel_v2, H, W, G, K, N, R,
+                               kinds, u.dtype)
+    blk = lambda c: pl.BlockSpec((1, Lg, c), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    y = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[blk(D), blk(K * R), blk(K * N), blk(K * N),
+                  full, full, full, full, full],
+        out_specs=blk(D),
+        out_shape=jax.ShapeDtypeStruct((B // G, Lg, D), u.dtype),
+        scratch_shapes=[pltpu.VMEM((Lg, 2 * D), f32),
+                        pltpu.VMEM((Lg, 2 * D), f32),
+                        pltpu.VMEM((Lg, D), f32),
+                        pltpu.VMEM((Lg, D), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(inter(u), inter(ranks), inter(Bs), inter(Cs),
+      w_dt, A, Dsum, bias.astype(f32), lno.astype(f32))
+    y = y.reshape(B // G, L, G, D)
+    return jnp.swapaxes(y, 1, 2).reshape(B, L, D)
+
+
 def nk_scan_v2_kind_pairs(kinds):
     """Group per-k traversals into (fwd_k, rev_k, family) chain pairs.
     cross2d: (row_f, row_r) + (col_f, col_r); unidi/flat: forward-only
